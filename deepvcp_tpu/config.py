@@ -1,0 +1,117 @@
+"""Model / training configuration.
+
+Every constant that the reference hard-codes across its files is lifted
+into one frozen dataclass so a config fully specifies the model
+(reference: deepVCP.py:33,54,61,76-77; deep_feat_extraction.py:10-15;
+deep_feat_embedding.py:14-21; weighting_layer.py:11-24; train.py:38-42).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SALayerConfig:
+    """One PointNet++ set-abstraction stage (ref pointnet2_utils.py:161-202)."""
+
+    npoint: int          # number of sampled centroids (== N means "keep all")
+    radius: float        # ball-query radius
+    nsample: int         # neighbors per centroid
+    mlp: Tuple[int, ...] # per-group 1x1-conv channel widths
+
+
+@dataclasses.dataclass(frozen=True)
+class DeepVCPConfig:
+    """Full model spec.
+
+    Defaults reproduce the reference's constants for 10k-point clouds.
+    The corrected feature chaining (SURVEY.md defect D2) means SA input
+    channels are (3 local xyz + previous features); `feat_dim` is the final
+    per-point descriptor width after the 64->32 projection (defect D4 fixed:
+    the projection is actually applied).
+    """
+
+    num_points: int = 10000          # N, points per cloud (ref train.py:58)
+    use_normal: bool = True          # ModelNet has normals, KITTI does not
+    num_keypoints: int = 64          # K_topk (ref deepVCP.py:33)
+    num_neighbors: int = 32          # nsample for keypoint grouping & tgt KNN
+    group_radius: float = 1.0        # keypoint ball-query radius (ref deepVCP.py:54)
+    search_radius: float = 1.0       # r: candidate search radius (ref deepVCP.py:76)
+    voxel_len: float = 0.4           # s: candidate voxel edge (ref deepVCP.py:77)
+    feat_dim: int = 32               # per-point descriptor width
+    # FE stack (ref deep_feat_extraction.py:10-15), with corrected chaining:
+    sa_layers: Tuple[SALayerConfig, ...] = (
+        SALayerConfig(npoint=-1, radius=0.1, nsample=256, mlp=(16, 16, 32)),
+        SALayerConfig(npoint=-1, radius=0.2, nsample=128, mlp=(32, 64)),
+        SALayerConfig(npoint=-1, radius=0.4, nsample=64, mlp=(64, 64)),
+    )
+    # Weighting layer MLP widths (ref weighting_layer.py:11-24)
+    wl_mlp: Tuple[int, ...] = (16, 8, 1)
+    # DFE MLP widths (ref deep_feat_embedding.py:18-20)
+    dfe_mlp: Tuple[int, ...] = (32, 32, 32)
+    # CPG 3D-conv channel widths (ref cpg.py:21-23)
+    cpg_channels: Tuple[int, ...] = (16, 4, 1)
+    # The reference stacks Linear layers with no nonlinearity in the DFE
+    # (deep_feat_embedding.py:32-34); the paper intends an MLP, so we put
+    # ReLU between hidden layers by default. Set False for strict parity.
+    dfe_activation: bool = True
+    # BatchNorm in SA conv stacks (ref pointnet2_utils.py:196-198).
+    use_batchnorm: bool = True
+    # Chunk size for memory-tiled pairwise-distance ops (queries per block).
+    query_chunk: int = 2048
+    # Compute dtype for the network MLPs ("float32" or "bfloat16").
+    compute_dtype: str = "float32"
+
+    @property
+    def in_channels(self) -> int:
+        return 6 if self.use_normal else 3
+
+    @property
+    def grid_size(self) -> int:
+        return int(round(2.0 * self.search_radius / self.voxel_len)) + 1
+
+    @property
+    def num_candidates(self) -> int:
+        return self.grid_size ** 3
+
+    def resolve(self) -> "DeepVCPConfig":
+        """Replace npoint=-1 sentinels with num_points."""
+        layers = tuple(
+            dataclasses.replace(l, npoint=self.num_points) if l.npoint == -1 else l
+            for l in self.sa_layers
+        )
+        return dataclasses.replace(self, sa_layers=layers)
+
+    @staticmethod
+    def tiny(num_points: int = 128, use_normal: bool = True) -> "DeepVCPConfig":
+        """Small config for tests / compile checks (same topology, tiny N)."""
+        return DeepVCPConfig(
+            num_points=num_points,
+            use_normal=use_normal,
+            num_keypoints=16,
+            num_neighbors=8,
+            sa_layers=(
+                SALayerConfig(npoint=-1, radius=0.4, nsample=16, mlp=(16, 16, 32)),
+                SALayerConfig(npoint=-1, radius=0.8, nsample=16, mlp=(32, 64)),
+                SALayerConfig(npoint=-1, radius=1.2, nsample=8, mlp=(64, 64)),
+            ),
+            query_chunk=64,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyper-parameters (ref train.py:38-42)."""
+
+    num_epochs: int = 10
+    batch_size: int = 1
+    learning_rate: float = 1e-3
+    alpha: float = 0.5               # loss balancing factor
+    inlier_ratio: float = 0.8        # SVD outlier rejection keep-fraction
+    seed: int = 0
+    checkpoint_dir: str = "checkpoints"
+    checkpoint_every_epochs: int = 1
+    metrics_path: str = "metrics.jsonl"
+    log_every: int = 5               # ref train.py:130

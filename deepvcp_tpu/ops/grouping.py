@@ -1,0 +1,111 @@
+"""Point gathering and ball-query grouping.
+
+Capability parity with the reference's `index_points` / `query_ball_point` /
+`sample_and_group` (pointnet2_utils.py:43-138), designed for XLA:
+
+- gathers are `jnp.take_along_axis` (no batch-index scaffolding, natively
+  batched — the reference's arange/repeat pattern is its B=1 lock-in, D1);
+- ball query selects the `nsample` lowest-index in-radius neighbors with a
+  masked `top_k` instead of a full sort of the N axis;
+- a chunked driver bounds the [S, N] distance tile.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deepvcp_tpu.ops.distance import map_query_chunks, square_distance
+
+
+def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather points by index, batched.
+
+    Args:
+        points: [B, N, C]
+        idx: [B, ...] integer indices into the N axis.
+    Returns:
+        [B, *idx.shape[1:], C]
+
+    Reference: pointnet2_utils.py:43-60.
+    """
+    B, _, C = points.shape
+    flat = idx.reshape(B, -1)
+    out = jnp.take_along_axis(points, flat[..., None], axis=1)
+    return out.reshape(*idx.shape, C)
+
+
+def query_ball_point(
+    radius: float,
+    nsample: int,
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    chunk: Optional[int] = None,
+) -> jax.Array:
+    """Indices of up to `nsample` points of `xyz` within `radius` of each query.
+
+    Matches the reference semantics (pointnet2_utils.py:87-107): neighbors are
+    the `nsample` *lowest-index* in-radius points; queries with fewer than
+    `nsample` hits repeat their first hit.
+
+    Args:
+        xyz: [B, N, 3] support points.
+        new_xyz: [B, S, 3] query points.
+        chunk: optional query-block size for memory tiling.
+    Returns:
+        idx: [B, S, nsample] int32 indices into the N axis.
+    """
+    N = xyz.shape[-2]
+
+    def run(queries):
+        sqr = square_distance(queries, xyz)  # [B, s, N]
+        in_range = sqr <= radius * radius
+        cand = jnp.where(in_range, jnp.arange(N, dtype=jnp.int32), jnp.int32(N))
+        # top_k of the negated indices = nsample smallest indices, ascending.
+        neg, _ = jax.lax.top_k(-cand, nsample)
+        group_idx = -neg
+        first = group_idx[..., :1]
+        group_idx = jnp.where(group_idx == N, first, group_idx)
+        # A query with zero in-radius hits keeps index N; clamp for safe gather
+        # (the reference crashes in this case).
+        return jnp.minimum(group_idx, N - 1)
+
+    if chunk is None:
+        return run(new_xyz)
+    return map_query_chunks(run, new_xyz, chunk)
+
+
+def group_neighbors(
+    radius: float,
+    nsample: int,
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    features: Optional[jax.Array] = None,
+    chunk: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Ball-query + gather + recenter (the core of `sample_and_group`).
+
+    Args:
+        xyz: [B, N, 3]; new_xyz: [B, S, 3] centroids.
+        features: optional [B, N, D] per-point features to gather alongside.
+    Returns:
+        (grouped [B, S, nsample, 3+D] with local xyz first,
+         grouped_xyz_local [B, S, nsample, 3],
+         idx [B, S, nsample])
+
+    Reference: pointnet2_utils.py:110-138 (minus the FPS step, which is done
+    by the caller — see sampling.py; at npoint == N FPS is a permutation and
+    is skipped entirely, see models/layers.py).
+    """
+    idx = query_ball_point(radius, nsample, xyz, new_xyz, chunk=chunk)
+    grouped_xyz = index_points(xyz, idx)                       # [B,S,ns,3]
+    grouped_xyz_local = grouped_xyz - new_xyz[..., :, None, :]
+    if features is not None:
+        grouped_feat = index_points(features, idx)             # [B,S,ns,D]
+        grouped = jnp.concatenate([grouped_xyz_local, grouped_feat], axis=-1)
+    else:
+        grouped = grouped_xyz_local
+    return grouped, grouped_xyz_local, idx

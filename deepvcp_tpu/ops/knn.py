@@ -1,0 +1,65 @@
+"""Brute-force K-nearest-neighbors.
+
+This is the TPU replacement for the reference's single native component, the
+`knn_cuda` CUDA extension (used at get_cat_feat_tgt.py:45-52 with k=32 and
+deepVCP_loss.py:70-72 with k=1). The distance matrix rides the MXU as one
+matmul per query tile; `lax.top_k` extracts the k smallest. A chunked driver
+bounds memory to one [chunk, N] tile, and a Pallas streaming kernel
+(ops/pallas/knn_kernel.py) covers the large-cloud hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deepvcp_tpu.ops.distance import map_query_chunks, square_distance
+
+
+def knn(
+    ref: jax.Array,
+    query: jax.Array,
+    k: int,
+    chunk: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """K nearest neighbors of each query point among the reference points.
+
+    Args:
+        ref: [B, N, 3] reference points.
+        query: [B, M, 3] query points.
+        k: neighbors per query.
+        chunk: optional query-block size for memory tiling.
+    Returns:
+        (dist [B, M, k] euclidean distances ascending,
+         idx [B, M, k] int32 indices into N).
+    """
+
+    def run(q):
+        sqr = square_distance(q, ref)                      # [B, m, N]
+        neg, idx = jax.lax.top_k(-sqr, k)                  # ascending distance
+        dist = jnp.sqrt(jnp.maximum(-neg, 0.0))
+        return dist, idx.astype(jnp.int32)
+
+    if chunk is None:
+        return run(query)
+    return map_query_chunks(run, query, chunk)
+
+
+def nearest_neighbor_dist(
+    ref: jax.Array, query: jax.Array, chunk: Optional[int] = None
+) -> jax.Array:
+    """Squared distance from each query to its nearest reference point.
+
+    Used by the loss's outlier rejection (ref deepVCP_loss.py:70-72, k=1).
+    Returns [B, M].
+    """
+
+    def run(q):
+        sqr = square_distance(q, ref)
+        return jnp.min(sqr, axis=-1)
+
+    if chunk is None:
+        return run(query)
+    return map_query_chunks(run, query, chunk)
