@@ -1,0 +1,109 @@
+"""Headline benchmark: end-to-end registration pairs/sec on one chip.
+
+Measures the full inference path (DeepVCP forward + ground-truth-free
+two-pass SVD pose solve) at the reference's full operating point:
+N=10000-point KITTI-scale clouds, K=64 keypoints, C=216 candidates, 32
+neighbors (ref train.py:58, deepVCP.py:33,54,76-77).
+
+Baseline: the DeepVCP paper reports ~2 s per registered frame pair on a
+GTX 1080 Ti (BASELINE.md), i.e. 0.5 pairs/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+BASELINE_PAIRS_PER_SEC = 0.5  # paper: ~2 s/pair on GTX 1080 Ti
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--num-points", type=int, default=10000)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--cpu", action="store_true", help="force CPU")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from deepvcp_tpu import DeepVCPConfig
+    from deepvcp_tpu.data import SyntheticDataset, batch_iterator
+    from deepvcp_tpu.models import DeepVCP
+    from deepvcp_tpu.registration import Registrar
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    cfg = DeepVCPConfig(num_points=args.num_points, use_normal=False)
+    model = DeepVCP(cfg=cfg)
+
+    ds = SyntheticDataset(
+        num_clouds=args.batch,
+        num_points=cfg.num_points,
+        use_normal=False,
+        extent=10.0,
+    )
+    src, tgt, R, t = next(batch_iterator(ds, args.batch, epoch=0, seed=0))
+    src, tgt = jnp.asarray(src), jnp.asarray(tgt)
+
+    t0 = time.time()
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.key(0), src, tgt, jnp.asarray(R), jnp.asarray(t),
+        train=False,
+    )
+    jax.block_until_ready(variables)
+    print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    reg = Registrar(cfg, variables)
+
+    import numpy as np
+
+    def run_sync():
+        # fetch the pose to host: forces true end-to-end completion even if
+        # the backend's block_until_ready is optimistic (axon tunnel)
+        out = reg(src, tgt)
+        return np.asarray(out.R)
+
+    t0 = time.time()
+    run_sync()
+    print(f"compile + first run: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    for _ in range(max(args.warmup - 1, 0)):
+        run_sync()
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.time()
+        run_sync()
+        times.append(time.time() - t0)
+
+    best = min(times)
+    pairs_per_sec = args.batch / best
+    print(
+        f"per-iter times: {[f'{x:.3f}' for x in times]}", file=sys.stderr
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "registration_pairs_per_sec",
+                "value": round(pairs_per_sec, 3),
+                "unit": "pairs/s",
+                "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

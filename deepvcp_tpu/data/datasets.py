@@ -1,0 +1,221 @@
+"""Datasets: ModelNet40, KITTI odometry, and a synthetic fallback.
+
+Host-side numpy pipelines (L5 replacement; ref ModelNet40Dataset.py,
+KITTIDataset.py) feeding channels-last [B, N, C] batches to the device.
+Each dataset exposes `__len__` and `sample(index, rng) -> RegistrationPair`;
+`batch_iterator` stacks samples, optionally shards the batch across hosts,
+and seeds augmentation per (epoch, index) so every pair is reproducible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from deepvcp_tpu.data.transforms import make_pair, resample
+
+
+@dataclasses.dataclass
+class RegistrationPair:
+    src: np.ndarray   # [N, 3 or 6]
+    tgt: np.ndarray   # [N, 3 or 6]
+    R: np.ndarray     # [3, 3]
+    t: np.ndarray     # [3]
+
+
+class ModelNet40Dataset:
+    """ModelNet40 'normal_resampled' layout (ref ModelNet40Dataset.py:12-92).
+
+    Root contains `modelnet10_shape_names.txt`, `modelnet10_{split}.txt`
+    (or `modelnet10_small_{split}.txt` when full_dataset=False) and
+    `<category>/<name>.txt` CSVs of x,y,z,nx,ny,nz rows. Clouds are loaded
+    eagerly into RAM like the reference; pairs are synthesized on the fly.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        split: str = "train",
+        full_dataset: bool = True,
+        num_points: Optional[int] = None,
+        use_normal: bool = True,
+        max_translation: float = 1.0,
+    ):
+        self.root = root
+        self.use_normal = use_normal
+        self.num_points = num_points
+        self.max_translation = max_translation
+        list_name = (
+            f"modelnet10_{split}.txt"
+            if full_dataset
+            else f"modelnet10_small_{split}.txt"
+        )
+        names = np.loadtxt(os.path.join(root, list_name), dtype=str).reshape(-1)
+        self.points: List[np.ndarray] = []
+        self.normals: List[np.ndarray] = []
+        self.labels: List[str] = []
+        for name in names:
+            category = str(name).rsplit("_", 1)[0]
+            path = os.path.join(root, category, f"{name}.txt")
+            data = np.loadtxt(path, delimiter=",", dtype=np.float64)
+            self.points.append(data[:, :3])
+            self.normals.append(data[:, 3:6])
+            self.labels.append(str(name))
+
+    def __len__(self) -> int:
+        return len(self.points)
+
+    def sample(self, index: int, rng: np.random.Generator) -> RegistrationPair:
+        pts, nrm = self.points[index], self.normals[index]
+        if self.num_points is not None and pts.shape[0] != self.num_points:
+            both = resample(
+                np.concatenate([pts, nrm], axis=-1), self.num_points, rng
+            )
+            pts, nrm = both[:, :3], both[:, 3:]
+        src, tgt, R, t = make_pair(
+            pts,
+            rng,
+            normals=nrm if self.use_normal else None,
+            max_translation=self.max_translation,
+        )
+        return RegistrationPair(src, tgt, R, t)
+
+
+def read_velodyne_bin(path: str) -> np.ndarray:
+    """KITTI velodyne scan: float32 [N, 4] (x, y, z, reflectance)
+    (ref KITTIDataset.py:39)."""
+    return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+
+
+class KITTIDataset:
+    """KITTI odometry velodyne scans (ref KITTIDataset.py:18-97).
+
+    Root contains `sequences/<seq>/velodyne/*.bin`. Like the reference,
+    scans are downsampled to `num_points` and pairs are synthesized with a
+    random pose (no consecutive-frame pairing — that lives in odometry/).
+    `files_per_seq` mirrors the reference's first-50-scans cap
+    (KITTIDataset.py:33); pass None for all scans.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        sequences: Sequence[str] = ("00", "01", "02", "03"),
+        split: str = "train",
+        num_points: int = 10000,
+        files_per_seq: Optional[int] = 50,
+        max_translation: float = 1.0,
+        eager: bool = False,
+        seed: int = 0,
+    ):
+        self.root = root
+        self.num_points = num_points
+        self.max_translation = max_translation
+        self.files: List[str] = []
+        for seq in sequences:
+            vdir = os.path.join(root, "sequences", seq, "velodyne")
+            names = sorted(os.listdir(vdir))[:files_per_seq]
+            self.files.extend(os.path.join(vdir, n) for n in names)
+        self._cache: dict = {}
+        self._downsample_rng = np.random.default_rng(seed)
+        if eager:
+            for i in range(len(self.files)):
+                self._load(i)
+
+    def _load(self, index: int) -> np.ndarray:
+        if index not in self._cache:
+            scan = read_velodyne_bin(self.files[index])
+            self._cache[index] = resample(
+                scan[:, :3].astype(np.float64),
+                self.num_points,
+                self._downsample_rng,
+            )
+        return self._cache[index]
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def sample(self, index: int, rng: np.random.Generator) -> RegistrationPair:
+        pts = self._load(index)
+        src, tgt, R, t = make_pair(
+            pts, rng, normals=None, max_translation=self.max_translation
+        )
+        return RegistrationPair(src, tgt, R, t)
+
+
+class SyntheticDataset:
+    """Random uniform clouds — for tests, benchmarks, and smoke training
+    without any dataset on disk. Mirrors the clouds' scale to KITTI-ish
+    extents by default."""
+
+    def __init__(
+        self,
+        num_clouds: int = 64,
+        num_points: int = 10000,
+        use_normal: bool = False,
+        extent: float = 10.0,
+        max_translation: float = 1.0,
+        seed: int = 0,
+    ):
+        rng = np.random.default_rng(seed)
+        self.clouds = [
+            rng.uniform(-extent, extent, size=(num_points, 3))
+            for _ in range(num_clouds)
+        ]
+        self.normals = None
+        if use_normal:
+            n = rng.standard_normal((num_clouds, num_points, 3))
+            self.normals = n / np.linalg.norm(n, axis=-1, keepdims=True)
+        self.max_translation = max_translation
+
+    def __len__(self) -> int:
+        return len(self.clouds)
+
+    def sample(self, index: int, rng: np.random.Generator) -> RegistrationPair:
+        nrm = self.normals[index] if self.normals is not None else None
+        src, tgt, R, t = make_pair(
+            self.clouds[index], rng, normals=nrm,
+            max_translation=self.max_translation,
+        )
+        return RegistrationPair(src, tgt, R, t)
+
+
+def batch_iterator(
+    dataset,
+    batch_size: int,
+    epoch: int = 0,
+    seed: int = 0,
+    shuffle: bool = True,
+    drop_remainder: bool = True,
+    host_id: int = 0,
+    num_hosts: int = 1,
+) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """Yield (src [B,N,C], tgt [B,N,C], R [B,3,3], t [B,3]) numpy batches.
+
+    Augmentation is seeded per (seed, epoch, index) so any pair can be
+    reproduced independently of iteration order. With num_hosts > 1 each
+    host reads a disjoint stride of the index stream (multi-host data
+    parallelism; the reference's DataParallel has no multi-host analogue).
+    """
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng((seed, epoch)).shuffle(order)
+    order = order[host_id::num_hosts]
+    limit = (
+        len(order) - len(order) % batch_size if drop_remainder else len(order)
+    )
+    for start in range(0, limit, batch_size):
+        idx = order[start : start + batch_size]
+        pairs = [
+            dataset.sample(int(i), np.random.default_rng((seed, epoch, int(i))))
+            for i in idx
+        ]
+        yield (
+            np.stack([p.src for p in pairs]),
+            np.stack([p.tgt for p in pairs]),
+            np.stack([p.R for p in pairs]),
+            np.stack([p.t for p in pairs]),
+        )

@@ -1,24 +1,34 @@
 """Two-pass weighted-SVD registration loss (L4 replacement; ref
 deepVCP_loss.py:57-121).
 
-Pipeline: Kabsch solve #1 on (keypoints, predicted VCPs) -> re-transform ->
-nearest-neighbor inlier scoring against the ground-truth-transformed
-keypoints -> keep the best `inlier_ratio` -> Kabsch solve #2 on inliers ->
+Pipeline: Kabsch solve #1 on (keypoints, predicted VCPs) -> per-point
+residual to the first fit -> keep the best `inlier_ratio` fraction ->
+Kabsch solve #2 on the inlier subset of the ORIGINAL correspondences ->
 alpha-blended L1 + mean-residual loss. Gradients flow through both SVDs and
-the top-k gathers, exactly as in the reference.
+the top-k gathers, as in the reference.
 
-The reflection fix the reference computes but never applies (D5) is applied
-inside ops.kabsch.
+Reference defects fixed here:
+- D5: the reflection fix is applied inside ops.kabsch (the reference
+  computes the det-sign matrix but never uses it, deepVCP_loss.py:36-40).
+- D10: the reference's second solve fits x_in against y_pred1_in where
+  y_pred1 = R1 x + t1 is an *exact rigid transform of x* — so it provably
+  returns (R1, t1) unchanged and the trimming never affects the pose
+  (deepVCP_loss.py:81-85). Its inlier score also needs ground truth
+  (1-NN against y_true, deepVCP_loss.py:70-72), which makes the solver
+  unusable at inference. Here the score is the ground-truth-free residual
+  to the first fit (classic trimmed-ICP) and the second solve uses the
+  inlier subset of the original predictions, so pass 2 actually refines
+  and `svd_refine` doubles as the inference-time pose solver.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from deepvcp_tpu.ops import apply_rigid, kabsch, square_distance
+from deepvcp_tpu.ops import apply_rigid, kabsch
 
 
 class RegistrationResult(NamedTuple):
@@ -29,45 +39,50 @@ class RegistrationResult(NamedTuple):
     mean_residual: jax.Array  # scalar: (1 - alpha) term
 
 
+class RefineResult(NamedTuple):
+    R: jax.Array           # [B, 3, 3]
+    t: jax.Array           # [B, 3]
+    x_in: jax.Array        # [B, N', 3] inlier source points
+    y_in: jax.Array        # [B, N', 3] inlier predicted correspondences
+    inlier_idx: jax.Array  # [B, N'] indices into N
+
+
 def svd_refine(
     x: jax.Array,
     y_pred: jax.Array,
-    y_true: jax.Array,
     inlier_ratio: float = 0.8,
     weights: Optional[jax.Array] = None,
-):
-    """Two-pass solve with outlier rejection (ref deepVCP_loss.py:57-90).
+) -> RefineResult:
+    """Two-pass trimmed Kabsch solve (ground-truth-free).
 
     Args:
         x: [B, N, 3] source keypoints.
         y_pred: [B, N, 3] predicted corresponding points.
-        y_true: [B, N, 3] ground-truth-transformed keypoints.
-        weights: optional per-point saliency for weighted Kabsch (paper's
-            weighted solve; the reference is unweighted).
+        weights: optional per-point saliency for weighted Kabsch (the
+            paper's weighted solve; the reference is unweighted).
     Returns:
-        (R2 [B,3,3], t2 [B,3], x_in [B,N',3], y2 [B,N',3], y_true_in [B,N',3])
+        RefineResult with the refined (R, t) and the inlier subset.
     """
     N = x.shape[-2]
     R1, t1 = kabsch(x, y_pred, weights)
     y1 = apply_rigid(x, R1, t1)
 
-    # Inlier score: distance from each ground-truth point to its nearest
-    # first-pass prediction (ref deepVCP_loss.py:70-72, knn_cuda k=1).
-    d = jnp.min(square_distance(y_true, y1), axis=-1)       # [B, N]
+    # Inlier score: residual of each predicted correspondence to the first
+    # rigid fit; keep the best `inlier_ratio` (ref keeps 80%,
+    # deepVCP_loss.py:76).
+    resid = jnp.sum(jnp.square(y_pred - y1), axis=-1)        # [B, N]
     num_in = max(int(N * inlier_ratio), 3)
-    _, in_idx = jax.lax.top_k(-d, num_in)                   # [B, N']
+    _, in_idx = jax.lax.top_k(-resid, num_in)                # [B, N']
 
     take = lambda a: jnp.take_along_axis(a, in_idx[..., None], axis=-2)
-    x_in, y1_in, y_true_in = take(x), take(y1), take(y_true)
+    x_in, y_in = take(x), take(y_pred)
     w_in = (
         jnp.take_along_axis(weights, in_idx, axis=-1)
         if weights is not None
         else None
     )
-
-    R2, t2 = kabsch(x_in, y1_in, w_in)
-    y2 = apply_rigid(x_in, R2, t2)
-    return R2, t2, x_in, y2, y_true_in
+    R2, t2 = kabsch(x_in, y_in, w_in)
+    return RefineResult(R=R2, t=t2, x_in=x_in, y_in=y_in, inlier_idx=in_idx)
 
 
 def deepvcp_loss(
@@ -80,18 +95,20 @@ def deepvcp_loss(
     weights: Optional[jax.Array] = None,
 ) -> RegistrationResult:
     """alpha * L1(y_true_in, y2) + (1 - alpha) * |mean(y2 - y_true_in)|
-    (ref deepVCP_loss.py:105-121).
+    (ref deepVCP_loss.py:105-121), evaluated on the trimmed inlier set with
+    y2 the second-pass fit of the inliers.
 
     Args:
         x: [B, N, 3] source keypoints.
         y_pred: [B, N, 3] predicted VCPs.
         R_true: [B, 3, 3]; t_true: [B, 3] ground-truth pose.
     """
-    y_true = apply_rigid(x, R_true, t_true)
-    R2, t2, _, y2, y_true_in = svd_refine(
-        x, y_pred, y_true, inlier_ratio, weights
-    )
+    ref = svd_refine(x, y_pred, inlier_ratio, weights)
+    y2 = apply_rigid(ref.x_in, ref.R, ref.t)
+    y_true_in = apply_rigid(ref.x_in, R_true, t_true)
     l1 = jnp.mean(jnp.abs(y_true_in - y2))
     mean_res = jnp.abs(jnp.mean(y2 - y_true_in))
     loss = alpha * l1 + (1.0 - alpha) * mean_res
-    return RegistrationResult(loss=loss, R=R2, t=t2, l1=l1, mean_residual=mean_res)
+    return RegistrationResult(
+        loss=loss, R=ref.R, t=ref.t, l1=l1, mean_residual=mean_res
+    )

@@ -1,0 +1,83 @@
+"""The framework's inference contract:
+
+    register(src_cloud, tgt_cloud, init_pose) -> (R, t, keypoints, vcps, diag)
+
+This is the capability the reference only exposes implicitly through
+vis_utils.py:79-96 (forward + deepVCP_loss to extract (R_pred, t_pred) —
+which needs the ground-truth pose because its solver's outlier scoring is
+supervised, defect D10). Here the pose solve is ground-truth-free
+(loss/registration.py `svd_refine`), so registration works on unlabeled
+cloud pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from deepvcp_tpu.config import DeepVCPConfig
+from deepvcp_tpu.loss.registration import svd_refine
+from deepvcp_tpu.models import DeepVCP
+
+
+class RegistrationOutput(NamedTuple):
+    R: jax.Array             # [B, 3, 3] estimated rotation
+    t: jax.Array             # [B, 3] estimated translation
+    keypoints: jax.Array     # [B, K, 3] selected source keypoints
+    vcps: jax.Array          # [B, K, 3] predicted corresponding points
+    inlier_idx: jax.Array    # [B, K'] inlier keypoint indices
+    saliency: jax.Array      # [B, N] per-point saliency
+
+
+class Registrar:
+    """Jitted end-to-end registration with a trained model."""
+
+    def __init__(
+        self,
+        cfg: DeepVCPConfig,
+        variables: Any,
+        inlier_ratio: float = 0.8,
+        use_saliency_weights: bool = False,
+    ):
+        self.cfg = cfg
+        self.model = DeepVCP(cfg=cfg)
+        self.variables = variables
+        self.inlier_ratio = inlier_ratio
+        self.use_saliency_weights = use_saliency_weights
+
+        def _register(variables, src, tgt, R_init, t_init):
+            kp, vcp, aux = self.model.apply(
+                variables, src, tgt, R_init, t_init, train=False
+            )
+            weights = (
+                aux["keypoint_saliency"] if use_saliency_weights else None
+            )
+            ref = svd_refine(kp, vcp, inlier_ratio, weights)
+            return RegistrationOutput(
+                R=ref.R,
+                t=ref.t,
+                keypoints=kp,
+                vcps=vcp,
+                inlier_idx=ref.inlier_idx,
+                saliency=aux["saliency"],
+            )
+
+        self._fn = jax.jit(_register)
+
+    def __call__(
+        self,
+        src: jax.Array,
+        tgt: jax.Array,
+        R_init: Optional[jax.Array] = None,
+        t_init: Optional[jax.Array] = None,
+    ) -> RegistrationOutput:
+        """src/tgt: [B, N, 3(+3)] channels-last clouds. init pose defaults
+        to identity."""
+        B = src.shape[0]
+        if R_init is None:
+            R_init = jnp.broadcast_to(jnp.eye(3, dtype=src.dtype), (B, 3, 3))
+        if t_init is None:
+            t_init = jnp.zeros((B, 3), dtype=src.dtype)
+        return self._fn(self.variables, src, tgt, R_init, t_init)

@@ -1,0 +1,152 @@
+"""Training CLI (flag parity with ref train.py:24-34 plus config overrides).
+
+    python -m deepvcp_tpu.train -d modelnet -f full --root /path/to/data
+    python -m deepvcp_tpu.train -d kitti --root /path/to/kitti
+    python -m deepvcp_tpu.train -d synthetic --num-points 512 --epochs 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from deepvcp_tpu.config import DeepVCPConfig, TrainConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train DeepVCP (TPU-native)")
+    # reference flags (train.py:24-34)
+    p.add_argument("-d", "--dataset", default="modelnet",
+                   choices=["modelnet", "kitti", "synthetic"],
+                   help="dataset (modelnet, kitti, or synthetic)")
+    p.add_argument("-f", "--full_dataset", default="full",
+                   help="train on 'full' or 'partial' dataset")
+    p.add_argument("-r", "--retrain_path", type=str, default=None,
+                   help="checkpoint to warm-start from")
+    p.add_argument("-m", "--model_path", type=str, default="final_model",
+                   help="tag for the final checkpoint")
+    # paths / config (the reference hard-codes these, train.py:52,57)
+    p.add_argument("--root", type=str, default=None, help="dataset root dir")
+    p.add_argument("--checkpoint-dir", type=str, default="checkpoints")
+    p.add_argument("--metrics-path", type=str, default="metrics.jsonl")
+    # hyper-parameters (ref train.py:38-42)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument("--seed", type=int, default=0)
+    # model constants (ref deepVCP.py:33,54,61,76-77)
+    p.add_argument("--num-points", type=int, default=10000)
+    p.add_argument("--num-keypoints", type=int, default=64)
+    p.add_argument("--tiny", action="store_true",
+                   help="use the tiny test topology (smoke runs)")
+    p.add_argument("--eval-only", action="store_true",
+                   help="load --retrain_path and evaluate the test split "
+                        "(the working version of the reference's "
+                        "model_eval.py)")
+    return p
+
+
+def configs_from_args(args) -> tuple[DeepVCPConfig, TrainConfig]:
+    use_normal = args.dataset == "modelnet"
+    if args.tiny:
+        model_cfg = DeepVCPConfig.tiny(
+            num_points=args.num_points, use_normal=use_normal
+        )
+    else:
+        model_cfg = DeepVCPConfig(
+            num_points=args.num_points,
+            use_normal=use_normal,
+            num_keypoints=args.num_keypoints,
+        )
+    train_cfg = TrainConfig(
+        num_epochs=args.epochs,
+        batch_size=args.batch_size,
+        learning_rate=args.lr,
+        alpha=args.alpha,
+        seed=args.seed,
+        checkpoint_dir=args.checkpoint_dir,
+        metrics_path=args.metrics_path,
+    )
+    return model_cfg, train_cfg
+
+
+def make_dataset(args, model_cfg: DeepVCPConfig, split: str):
+    from deepvcp_tpu.data import (
+        KITTIDataset,
+        ModelNet40Dataset,
+        SyntheticDataset,
+    )
+
+    if args.dataset == "modelnet":
+        if not args.root:
+            raise SystemExit("--root is required for modelnet")
+        return ModelNet40Dataset(
+            args.root,
+            split=split,
+            full_dataset=args.full_dataset == "full",
+            num_points=model_cfg.num_points,
+            use_normal=model_cfg.use_normal,
+        )
+    if args.dataset == "kitti":
+        if not args.root:
+            raise SystemExit("--root is required for kitti")
+        seqs = ("00", "01", "02") if split == "train" else ("03",)
+        return KITTIDataset(
+            args.root, sequences=seqs, num_points=model_cfg.num_points
+        )
+    return SyntheticDataset(
+        num_clouds=16 if split == "train" else 4,
+        num_points=model_cfg.num_points,
+        use_normal=model_cfg.use_normal,
+        seed=0 if split == "train" else 1,
+    )
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    model_cfg, train_cfg = configs_from_args(args)
+
+    from deepvcp_tpu.data import batch_iterator
+    from deepvcp_tpu.train.trainer import Trainer
+
+    train_data = make_dataset(args, model_cfg, "train")
+    test_data = make_dataset(args, model_cfg, "test")
+    print(
+        f"Train dataset size: {len(train_data)}  "
+        f"Test dataset size: {len(test_data)}"
+    )
+
+    trainer = Trainer(model_cfg, train_cfg)
+    sample = next(
+        batch_iterator(train_data, train_cfg.batch_size, epoch=0,
+                       seed=train_cfg.seed)
+    )
+    trainer.setup(sample, retrain_path=args.retrain_path)
+
+    if args.eval_only:
+        out = trainer.evaluate(
+            batch_iterator(test_data, train_cfg.batch_size, epoch=0,
+                           seed=train_cfg.seed + 1, shuffle=False)
+        )
+        print("eval:", out)
+        return
+
+    def train_batches(epoch):
+        return batch_iterator(
+            train_data, train_cfg.batch_size, epoch=epoch, seed=train_cfg.seed
+        )
+
+    def eval_batches(epoch):
+        return batch_iterator(
+            test_data, train_cfg.batch_size, epoch=epoch,
+            seed=train_cfg.seed + 1, shuffle=False,
+        )
+
+    trainer.fit(train_batches, eval_batches)
+    path = trainer.save_checkpoint(args.model_path)
+    print(f"Finished Training; final checkpoint at {path}")
+
+
+if __name__ == "__main__":
+    main()

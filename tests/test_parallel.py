@@ -1,0 +1,88 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4:
+fake-backend pod slice)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepvcp_tpu import DeepVCPConfig
+from deepvcp_tpu.config import TrainConfig
+from deepvcp_tpu.data import SyntheticDataset, batch_iterator
+from deepvcp_tpu.models import DeepVCP
+from deepvcp_tpu.parallel import make_mesh, shard_batch
+from deepvcp_tpu.train.trainer import create_train_state, make_train_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert jax.device_count() == 8
+    cfg = DeepVCPConfig.tiny(num_points=64, use_normal=False)
+    tcfg = TrainConfig(batch_size=4, metrics_path=None)
+    model = DeepVCP(cfg=cfg)
+    ds = SyntheticDataset(num_clouds=8, num_points=64, extent=2.0)
+    batch = next(batch_iterator(ds, 4, epoch=0, seed=0))
+    state, tx = create_train_state(model, tcfg, batch)
+    return cfg, tcfg, model, state, tx, batch
+
+
+class TestShardedTrainStep:
+    @pytest.mark.parametrize("shape", [(4, 2), (2, 4), (1, 8)])
+    def test_dp_sp_step_runs(self, setup, shape):
+        cfg, tcfg, model, state, tx, batch = setup
+        mesh = make_mesh(data=shape[0], point=shape[1])
+        step = make_train_step(model, tx, tcfg, mesh=mesh)
+        sharded = shard_batch(mesh, batch)
+        # the step donates its state argument; keep the fixture's copy alive
+        state_copy = jax.tree_util.tree_map(jnp.copy, state)
+        new_state, metrics = step(state_copy, *sharded)
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(new_state.step) == int(state.step) + 1
+
+    def test_sharded_matches_single_device(self, setup):
+        """DP+SP must be numerically equivalent to the single-device step
+        (same global batch, same params)."""
+        cfg, tcfg, model, state, tx, batch = setup
+        single = make_train_step(model, tx, tcfg)
+        args = tuple(jnp.asarray(a) for a in batch)
+        # donate_argnums: pass a fresh copy of state to each step
+        copy = lambda s: jax.tree_util.tree_map(jnp.copy, s)
+        _, m_single = single(copy(state), *args)
+
+        mesh = make_mesh(data=2, point=4)
+        sharded_step = make_train_step(model, tx, tcfg, mesh=mesh)
+        _, m_sharded = sharded_step(copy(state), *shard_batch(mesh, batch))
+
+        assert float(m_single["loss"]) == pytest.approx(
+            float(m_sharded["loss"]), rel=1e-4
+        )
+        # RRE goes through SVD + arccos, which amplifies f32 reduction-order
+        # noise near identity; 0.01 deg is far below any meaningful signal
+        assert float(m_single["rre_deg"]) == pytest.approx(
+            float(m_sharded["rre_deg"]), abs=1e-2
+        )
+
+    def test_grad_allreduce_consistency(self, setup):
+        """Parameters after one sharded step match the single-device step
+        (the gradient all-reduce is exact)."""
+        cfg, tcfg, model, state, tx, batch = setup
+        copy = lambda s: jax.tree_util.tree_map(jnp.copy, s)
+        single = make_train_step(model, tx, tcfg)
+        s1, m1 = single(copy(state), *(jnp.asarray(a) for a in batch))
+        mesh = make_mesh(data=4, point=2)
+        sharded = make_train_step(model, tx, tcfg, mesh=mesh)
+        s2, m2 = sharded(copy(state), *shard_batch(mesh, batch))
+        # the all-reduced global gradient matches the single-device gradient
+        assert float(m1["grad_norm"]) == pytest.approx(
+            float(m2["grad_norm"]), rel=1e-3
+        )
+        # post-Adam params: near-zero-grad entries step by ~lr*sign(noise),
+        # so only a coarse bound is meaningful (real all-reduce bugs are
+        # orders of magnitude larger)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s1.params),
+            jax.tree_util.tree_leaves(s2.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2.5 * tcfg.learning_rate
+            )
