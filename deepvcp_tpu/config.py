@@ -63,6 +63,27 @@ class DeepVCPConfig:
     query_chunk: int = 2048
     # Compute dtype for the network MLPs ("float32" or "bfloat16").
     compute_dtype: str = "float32"
+    # Neighbor search strategy for the FE stack:
+    #   "banded"   gather-free banded SA (models/fused_sa.py) — the TPU hot
+    #              path; pooled-then-pointwise MLP, cap-free neighborhoods;
+    #   "windowed" spatially-sorted window engine with explicit neighbor
+    #              gathers (ops/neighbors.py) — reference MLP-then-pool
+    #              architecture, sort-free selection;
+    #   "dense"    exact reference-semantics [S, N] path (ops/grouping.py).
+    # "banded"/"windowed" also switch the candidate KNN to the windowed
+    # engine; "dense" uses exact brute-force KNN.
+    neighbor_method: str = "banded"
+    # Cloud diameter hint for sizing the static candidate windows
+    # (ModelNet normalized clouds ~2; KITTI scans ~80-100 m).
+    spatial_extent: float = 20.0
+    # Window = safety * expected slab occupancy, rounded to lanes.
+    window_safety: float = 6.0
+    # Window width for the candidate KNN against the target cloud.
+    knn_window: int = 512
+    # Tile width for the banded SA stage (band = tiles of this many sorted
+    # points; larger tiles -> fewer rolls -> faster compile, slightly wider
+    # bands).
+    band_tile: int = 256
 
     @property
     def in_channels(self) -> int:
@@ -98,6 +119,8 @@ class DeepVCPConfig:
                 SALayerConfig(npoint=-1, radius=1.2, nsample=8, mlp=(64, 64)),
             ),
             query_chunk=64,
+            spatial_extent=4.0,
+            knn_window=min(128, num_points),
         )
 
 

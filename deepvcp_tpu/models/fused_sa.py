@@ -1,0 +1,164 @@
+"""Gather-free banded set abstraction — the TPU-native FE stage.
+
+Why: XLA gathers on TPU run at ~40M elements/s (measured on v5e, prof6);
+gather-based SA grouping costs ~1 s/layer at N=10k. This stage removes
+every gather and every sort-of-[S,N] from the hot path:
+
+1.  The cloud is sorted along one spatial axis (one cheap 1-D argsort,
+    done once for the whole FE stack) and reshaped into T tiles of `tile`
+    points — a free reshape.
+2.  Each tile's candidate neighborhood is a band of Kb adjacent tiles,
+    built with `jnp.roll` + concat (contiguous data movement). With the
+    band sized by `window_for(N, r, extent)`, it spatially covers the
+    in-radius neighbors (wrap-around pairs are killed by the true 3-D
+    distance mask).
+3.  The neighborhood aggregation is restructured so the only per-pair
+    computation is ADDITIVE: the first projection of the reference SA,
+    Dense(concat(x_n - x_q, f_n)) = (Wx x_n + Wf f_n) - Wx x_q + b,
+    is a difference of per-point projections. The pair tensor
+    [N, band, c0] exists only inside a fused broadcast-subtract-max —
+    XLA never materializes it. ReLU commutes with max (both monotone:
+    max(relu(h)) == relu(max(h))), so pooling directly after the first
+    projection is exact.
+4.  The remaining MLP widths run per-POINT after pooling (plain [N, c]
+    matmuls on the MXU). This is the designed TPU deviation from the
+    reference, which applies its full conv stack per-pair before pooling
+    (pointnet2_utils.py:196-200): per-pair depth costs band/nsample ~ 20-80x
+    the reference FLOPs on TPU for no gather savings, while pooled-then-
+    pointwise keeps the same receptive field through stage stacking. The
+    neighbor set is "all in-radius points in the band" — a cap-free
+    superset of the reference's first-nsample selection (D1-adjacent).
+    Strict reference architecture remains available via
+    DeepVCPConfig(sa_impl="gather").
+
+BatchNorm is applied to the pooled per-point activations (masked pair
+statistics are unnecessary: pooled rows are per-point, so plain BN over
+[B, N] is exact), with running stats for eval — same state layout as the
+gather path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from deepvcp_tpu.config import SALayerConfig
+
+_NEG = jnp.float32(-1e30)
+
+
+def pad_to_tiles(x: jax.Array, tile: int, pad_value: float) -> jax.Array:
+    """[B, N, C] -> [B, Np, C] with Np the next multiple of tile."""
+    pad = (-x.shape[1]) % tile
+    if pad == 0:
+        return x
+    return jnp.pad(
+        x, [(0, 0), (0, pad), (0, 0)], constant_values=pad_value
+    )
+
+
+def band_of(tiles: jax.Array, half_tiles: int) -> jax.Array:
+    """[B, T, w, C] -> [B, T, (2*half_tiles+1)*w, C]: the tile plus
+    `half_tiles` neighbors on each side (torus roll; callers mask by true
+    distance, which kills wrap-around pairs whenever extent > 2r)."""
+    parts = [
+        jnp.roll(tiles, s, axis=1)
+        for s in range(half_tiles, -half_tiles - 1, -1)
+    ]
+    return jnp.concatenate(parts, axis=2)
+
+
+class BandedSetAbstraction(nn.Module):
+    """One banded SA stage: pooled first projection + per-point MLP tail.
+
+    Inputs/outputs in sorted order; npoint == N by construction.
+    `window` is the required one-sided slab coverage in points
+    (window_for); the band uses ceil(window/tile) tiles per side.
+    """
+
+    layer: SALayerConfig
+    window: int
+    tile: int = 128
+    use_batchnorm: bool = True
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        sorted_xyz: jax.Array,
+        features: Optional[jax.Array],
+        train: bool = False,
+    ) -> jax.Array:
+        """sorted_xyz [B, N, 3], features [B, N, D] or None ->
+        [B, N, mlp[-1]] (sorted order)."""
+        cfg = self.layer
+        B, N, _ = sorted_xyz.shape
+        w = min(self.tile, N)
+        dt = self.dtype
+        r2 = jnp.asarray(cfg.radius * cfg.radius, dt)
+
+        c0 = cfg.mlp[0]
+        # per-point projections (the linearity split of the reference's
+        # first 1x1 conv over concat(local_xyz, features))
+        p = nn.Dense(c0, use_bias=False, dtype=dt, name="proj_xyz")(
+            sorted_xyz.astype(dt)
+        )
+        u = p
+        if features is not None:
+            u = u + nn.Dense(
+                c0, use_bias=False, dtype=dt, name="proj_feat"
+            )(features.astype(dt))
+        b0 = self.param("bias0", nn.initializers.zeros, (c0,), dt)
+
+        # tiling + banding (no gathers)
+        xyz_p = pad_to_tiles(sorted_xyz.astype(dt), w, 1e7)
+        u_p = pad_to_tiles(u, w, 0.0)
+        p_p = pad_to_tiles(p, w, 0.0)
+        Np = xyz_p.shape[1]
+        T = Np // w
+        half = -(-self.window // w)
+
+        q_xyz = xyz_p.reshape(B, T, w, 3)
+        b_xyz = band_of(q_xyz, half)                   # [B,T,bw,3]
+        q_p = p_p.reshape(B, T, w, c0)
+        b_u = band_of(u_p.reshape(B, T, w, c0), half)  # [B,T,bw,c0]
+
+        d2 = jnp.sum(
+            jnp.square(q_xyz[..., :, None, :] - b_xyz[..., None, :, :]),
+            axis=-1,
+        )                                              # [B,T,w,bw]
+        mask = d2 <= r2
+        # Pair values h0[q, n] = u_n - p_q + b0: the "- p_q + b0" term is
+        # constant per query, so max_n h0 = (masked max_n u_n) - p_q + b0.
+        # The pair tensor collapses to a select+reduce over the band —
+        # nothing per-pair is ever materialized.
+        max_u = jnp.max(
+            jnp.where(
+                mask[..., None], b_u[..., None, :, :], _NEG.astype(dt)
+            ),
+            axis=-2,
+        )                                              # [B,T,w,c0]
+        pooled = (max_u - q_p + b0).reshape(B, Np, c0)[:, :N]
+        # relu(max) == max(relu); also rescues the (impossible in practice)
+        # empty-neighborhood rows from -inf
+        h = nn.relu(pooled)
+
+        def norm(x, i):
+            if not self.use_batchnorm:
+                return x
+            return nn.BatchNorm(
+                use_running_average=not train,
+                axis_name=self.axis_name,
+                dtype=dt,
+                name=f"bn{i}",
+            )(x)
+
+        h = norm(h, 0)
+        for i, c in enumerate(cfg.mlp[1:], start=1):
+            h = nn.Dense(c, dtype=dt, name=f"dense{i}")(h)
+            h = nn.relu(norm(h, i))
+        return h

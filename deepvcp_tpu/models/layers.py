@@ -29,6 +29,13 @@ from deepvcp_tpu.ops import (
     group_neighbors,
     index_points,
 )
+from deepvcp_tpu.models.fused_sa import BandedSetAbstraction
+from deepvcp_tpu.ops.neighbors import (
+    SortedCloud,
+    sort_cloud,
+    window_for,
+    windowed_ball_query,
+)
 
 Dtype = Any
 
@@ -46,6 +53,7 @@ class SetAbstraction(nn.Module):
     query_chunk: Optional[int] = None
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
+    window: Optional[int] = None  # windowed neighbor search when set
 
     @nn.compact
     def __call__(
@@ -53,11 +61,21 @@ class SetAbstraction(nn.Module):
         xyz: jax.Array,
         features: Optional[jax.Array],
         train: bool = False,
+        sorted_cloud: Optional[SortedCloud] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """xyz [B, N, 3], features [B, N, D] or None ->
-        (new_xyz [B, S, 3], new_features [B, S, mlp[-1]])."""
+        (new_xyz [B, S, 3], new_features [B, S, mlp[-1]]).
+
+        With `sorted_cloud` + `window` set (and npoint == N), neighbor
+        search uses the sort-free windowed engine; xyz/features must then be
+        in sorted order and outputs stay in sorted order."""
         cfg = self.layer
         N = xyz.shape[1]
+        use_window = (
+            sorted_cloud is not None
+            and self.window is not None
+            and cfg.npoint == N
+        )
         if cfg.npoint == N:
             new_xyz = xyz
         else:
@@ -68,10 +86,16 @@ class SetAbstraction(nn.Module):
         # First projection, split: Dense(concat(local_xyz, feat[idx])) ==
         # local_xyz @ Wx + (feat @ Wf)[idx] + b.
         xyz_proj = nn.Dense(c0, dtype=self.dtype, name="proj_xyz")
-        _, local_xyz, idx = group_neighbors(
-            cfg.radius, cfg.nsample, xyz, new_xyz, features=None,
-            chunk=self.query_chunk,
-        )
+        if use_window:
+            idx = windowed_ball_query(
+                sorted_cloud, new_xyz, cfg.radius, cfg.nsample, self.window
+            )
+            local_xyz = index_points(xyz, idx) - new_xyz[..., :, None, :]
+        else:
+            _, local_xyz, idx = group_neighbors(
+                cfg.radius, cfg.nsample, xyz, new_xyz, features=None,
+                chunk=self.query_chunk,
+            )
         h = xyz_proj(local_xyz.astype(self.dtype))  # [B,S,ns,c0]
         if features is not None:
             feat_proj = nn.Dense(
@@ -118,18 +142,67 @@ class FeatureExtraction(nn.Module):
         normals: Optional[jax.Array],
         train: bool = False,
     ) -> jax.Array:
-        """xyz [B, N, 3], normals [B, N, 3] or None -> features [B, N, feat_dim]."""
+        """xyz [B, N, 3], normals [B, N, 3] or None -> features [B, N, feat_dim].
+
+        With cfg.neighbor_method == "windowed", the cloud is sorted along one
+        spatial axis once, all SA stages run in sorted order with windowed
+        neighbor search, and the final features are unpermuted back to the
+        caller's point order."""
+        cfg = self.cfg.resolve()
+        windowed = cfg.neighbor_method in ("windowed", "banded")
+        banded = cfg.neighbor_method == "banded"
+        cloud = None
+        inv_perm = None
+        if windowed:
+            cloud = sort_cloud(xyz)
+            if normals is not None:
+                normals = index_points(normals, cloud.perm)
+            xyz = cloud.xyz
+            N = xyz.shape[1]
+            inv_perm = (
+                jnp.zeros((xyz.shape[0], N), jnp.int32)
+                .at[
+                    jnp.arange(xyz.shape[0], dtype=jnp.int32)[:, None],
+                    cloud.perm,
+                ]
+                .set(jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), cloud.perm.shape))
+            )
         feats = normals
-        for i, layer in enumerate(self.cfg.sa_layers):
-            xyz, feats = SetAbstraction(
-                layer,
-                use_batchnorm=self.cfg.use_batchnorm,
-                query_chunk=self.cfg.query_chunk,
-                axis_name=self.axis_name,
-                dtype=self.dtype,
-                name=f"sa{i + 1}",
-            )(xyz, feats, train)
-        return nn.Dense(self.cfg.feat_dim, dtype=self.dtype, name="proj")(feats)
+        for i, layer in enumerate(cfg.sa_layers):
+            window = (
+                window_for(
+                    xyz.shape[1],
+                    layer.radius,
+                    cfg.spatial_extent,
+                    cfg.window_safety,
+                )
+                if windowed
+                else None
+            )
+            if banded:
+                feats = BandedSetAbstraction(
+                    layer,
+                    window=window,
+                    tile=cfg.band_tile,
+                    use_batchnorm=cfg.use_batchnorm,
+                    axis_name=self.axis_name,
+                    dtype=self.dtype,
+                    name=f"sa{i + 1}",
+                )(xyz, feats, train)
+            else:
+                xyz, feats = SetAbstraction(
+                    layer,
+                    use_batchnorm=cfg.use_batchnorm,
+                    query_chunk=cfg.query_chunk,
+                    axis_name=self.axis_name,
+                    dtype=self.dtype,
+                    window=window,
+                    name=f"sa{i + 1}",
+                )(xyz, feats, train, sorted_cloud=cloud)
+        feats = nn.Dense(cfg.feat_dim, dtype=self.dtype, name="proj")(feats)
+        if windowed:
+            feats = index_points(feats, inv_perm)
+        return feats
 
 
 class WeightingLayer(nn.Module):

@@ -57,9 +57,11 @@ class TestShardedTrainStep:
             float(m_sharded["loss"]), rel=1e-4
         )
         # RRE goes through SVD + arccos, which amplifies f32 reduction-order
-        # noise near identity; 0.01 deg is far below any meaningful signal
+        # noise near identity (untrained model); 0.05 deg is far below any
+        # meaningful signal, and real sharding bugs also break the tight
+        # loss assertion above
         assert float(m_single["rre_deg"]) == pytest.approx(
-            float(m_sharded["rre_deg"]), abs=1e-2
+            float(m_sharded["rre_deg"]), abs=5e-2
         )
 
     def test_grad_allreduce_consistency(self, setup):
