@@ -1,0 +1,257 @@
+"""Sequence odometry: chained pairwise registration + pose-graph
+optimization + trajectory metrics.
+
+Extension beyond the reference (SURVEY.md §7 step 8; BASELINE.json configs
+4-5): the reference only registers synthetic pairs. Here, consecutive-frame
+relative poses are chained into a trajectory, optional loop-closure /
+skip-frame edges form a pose graph, and a Gauss-Newton optimizer (built on
+jax, so it jit-compiles and shards) refines the absolute poses. Rotations
+are parameterized by so(3) increments (right-multiplicative), translations
+directly.
+
+Math: minimize sum over edges (i, j) of
+    || log(R_ij_meas^T (R_i^T R_j)) ||^2 + || R_i^T (t_j - t_i) - t_ij ||^2
+via damped Gauss-Newton with jax.grad/jacobians on the manifold increments.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --- SO(3) helpers ----------------------------------------------------------
+
+
+def hat(w: jax.Array) -> jax.Array:
+    """so(3) hat map: [..., 3] -> [..., 3, 3]."""
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    z = jnp.zeros_like(wx)
+    return jnp.stack(
+        [
+            jnp.stack([z, -wz, wy], -1),
+            jnp.stack([wz, z, -wx], -1),
+            jnp.stack([-wy, wx, z], -1),
+        ],
+        -2,
+    )
+
+
+def exp_so3(w: jax.Array) -> jax.Array:
+    """Rodrigues: [..., 3] -> [..., 3, 3]."""
+    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
+    K = hat(w)
+    I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
+    safe = jnp.where(theta < 1e-8, 1.0, theta)
+    A = jnp.where(theta < 1e-8, 1.0, jnp.sin(safe) / safe)
+    B = jnp.where(theta < 1e-8, 0.5, (1.0 - jnp.cos(safe)) / (safe * safe))
+    return I + A * K + B * (K @ K)
+
+
+def log_so3(R: jax.Array) -> jax.Array:
+    """[..., 3, 3] -> [..., 3] rotation vector."""
+    tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+    theta = jnp.arccos(cos)
+    w = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        -1,
+    )
+    s = jnp.where(theta < 1e-7, 1.0, 2.0 * jnp.sin(theta))
+    scale = jnp.where(theta[..., None] < 1e-7, 0.5, (theta / s)[..., None])
+    return w * scale
+
+
+# --- trajectory assembly ----------------------------------------------------
+
+
+def chain_poses(
+    R_rel: jax.Array, t_rel: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Compose relative poses frame_{i} -> frame_{i+1} into absolute poses.
+
+    Convention: x_{i+1} = R_rel[i] @ x_i + t_rel[i] maps frame i coordinates
+    into frame i+1 (the registration direction src=i, tgt=i+1). Absolute
+    pose (R_i, t_i) maps frame i into frame 0:
+        R_0 = I;  R_{i+1} = R_i @ R_rel[i]^T,
+        t_{i+1} = t_i - R_{i+1} @ t_rel[i].
+
+    Args:
+        R_rel: [M, 3, 3], t_rel: [M, 3] for M = num_frames - 1.
+    Returns:
+        (R_abs [M+1, 3, 3], t_abs [M+1, 3]).
+    """
+
+    def step(carry, rel):
+        R_i, t_i = carry
+        Rr, tr = rel
+        R_next = R_i @ Rr.T
+        t_next = t_i - R_next @ tr
+        return (R_next, t_next), (R_next, t_next)
+
+    init = (jnp.eye(3, dtype=R_rel.dtype), jnp.zeros(3, dtype=R_rel.dtype))
+    _, (Rs, ts) = jax.lax.scan(step, init, (R_rel, t_rel))
+    R_abs = jnp.concatenate([init[0][None], Rs], axis=0)
+    t_abs = jnp.concatenate([init[1][None], ts], axis=0)
+    return R_abs, t_abs
+
+
+# --- pose graph -------------------------------------------------------------
+
+
+class PoseGraph(NamedTuple):
+    edges_i: jax.Array   # [E] int32 source node
+    edges_j: jax.Array   # [E] int32 target node
+    R_meas: jax.Array    # [E, 3, 3] measured R_ij (frame i -> frame j)
+    t_meas: jax.Array    # [E, 3]
+    weights: jax.Array   # [E] edge confidence
+
+
+def build_graph(
+    R_rel: jax.Array,
+    t_rel: jax.Array,
+    extra_edges: Optional[Sequence[Tuple[int, int, np.ndarray, np.ndarray]]] = None,
+    weights: Optional[jax.Array] = None,
+) -> PoseGraph:
+    """Sequential odometry edges (i -> i+1) plus optional loop closures.
+
+    Edge measurement convention matches the registration direction:
+    x_j = R_meas @ x_i + t_meas.
+    """
+    M = R_rel.shape[0]
+    ei = list(range(M))
+    ej = list(range(1, M + 1))
+    Rm = [np.asarray(R_rel[k]) for k in range(M)]
+    tm = [np.asarray(t_rel[k]) for k in range(M)]
+    for (i, j, R_ij, t_ij) in extra_edges or []:
+        ei.append(i)
+        ej.append(j)
+        Rm.append(np.asarray(R_ij))
+        tm.append(np.asarray(t_ij))
+    E = len(ei)
+    w = weights if weights is not None else jnp.ones((E,), jnp.float32)
+    return PoseGraph(
+        edges_i=jnp.asarray(ei, jnp.int32),
+        edges_j=jnp.asarray(ej, jnp.int32),
+        R_meas=jnp.asarray(np.stack(Rm), jnp.float32),
+        t_meas=jnp.asarray(np.stack(tm), jnp.float32),
+        weights=w,
+    )
+
+
+def _edge_residuals(graph: PoseGraph, R_abs: jax.Array, t_abs: jax.Array):
+    """Residuals per edge given absolute poses (frame -> world)."""
+    Ri = R_abs[graph.edges_i]          # [E,3,3]
+    Rj = R_abs[graph.edges_j]
+    ti = t_abs[graph.edges_i]
+    tj = t_abs[graph.edges_j]
+    # predicted relative: x_j = R_ij x_i + t_ij with
+    # R_ij = R_j^T R_i, t_ij = R_j^T (t_i - t_j)
+    R_pred = jnp.einsum("eba,ebc->eac", Rj, Ri)
+    t_pred = jnp.einsum("eba,eb->ea", Rj, ti - tj)
+    r_rot = log_so3(
+        jnp.einsum("eba,ebc->eac", graph.R_meas, R_pred)
+    )                                   # [E,3]
+    r_trans = t_pred - graph.t_meas
+    w = graph.weights[:, None]
+    return r_rot * w, r_trans * w
+
+
+def optimize_pose_graph(
+    graph: PoseGraph,
+    R_init: jax.Array,
+    t_init: jax.Array,
+    num_iters: int = 50,
+    lr: float = 0.0,
+    damping: float = 1e-3,
+    rot_weight: float = 1.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Refine absolute poses by damped Gauss-Newton on so(3) x R^3
+    increments (node 0 held fixed as gauge). Returns (R_abs, t_abs).
+
+    Implemented as jit-compiled dense normal equations — pose graphs from
+    KITTI sequences are small (thousands of nodes), so a dense solve is
+    fine on one chip; the Schur-complement distributed variant is the
+    multi-host extension point.
+    """
+    num_nodes = R_init.shape[0]
+    dtype = jnp.float32
+
+    def unpack(delta):
+        dw = delta[:, :3]
+        dt = delta[:, 3:]
+        # gauge fix: node 0 pinned
+        dw = dw.at[0].set(0.0)
+        dt = dt.at[0].set(0.0)
+        return dw, dt
+
+    def residual_vec(delta, R_abs, t_abs):
+        dw, dt = unpack(delta)
+        R_new = R_abs @ exp_so3(dw)
+        t_new = t_abs + dt
+        r_rot, r_trans = _edge_residuals(graph, R_new, t_new)
+        return jnp.concatenate(
+            [rot_weight * r_rot.reshape(-1), r_trans.reshape(-1)]
+        )
+
+    def gn_step(carry, _):
+        R_abs, t_abs = carry
+        delta0 = jnp.zeros((num_nodes, 6), dtype)
+        J = jax.jacfwd(lambda d: residual_vec(d, R_abs, t_abs))(delta0)
+        J = J.reshape(J.shape[0], num_nodes * 6)
+        r = residual_vec(delta0, R_abs, t_abs)
+        H = J.T @ J + damping * jnp.eye(num_nodes * 6, dtype=dtype)
+        g = J.T @ r
+        delta = -jnp.linalg.solve(H, g).reshape(num_nodes, 6)
+        dw, dt = unpack(delta)
+        return (R_abs @ exp_so3(dw), t_abs + dt), None
+
+    (R_out, t_out), _ = jax.lax.scan(
+        gn_step, (R_init.astype(dtype), t_init.astype(dtype)),
+        None, length=num_iters,
+    )
+    return R_out, t_out
+
+
+# --- trajectory metrics -----------------------------------------------------
+
+
+def absolute_trajectory_error(
+    t_pred: jax.Array, t_true: jax.Array, align: bool = True
+) -> jax.Array:
+    """ATE RMSE over translations; optional SE(3) alignment (Horn) of the
+    predicted trajectory to the ground truth, the standard protocol."""
+    if align:
+        from deepvcp_tpu.ops import kabsch, apply_rigid
+
+        R, t = kabsch(t_pred[None], t_true[None])
+        t_pred = apply_rigid(t_pred[None], R, t)[0]
+    err = jnp.linalg.norm(t_pred - t_true, axis=-1)
+    return jnp.sqrt(jnp.mean(err * err))
+
+
+def relative_pose_errors(
+    R_pred: jax.Array, t_pred: jax.Array, R_true: jax.Array, t_true: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-edge relative rotation (deg) / translation errors between
+    consecutive frames of two absolute trajectories (RPE)."""
+    def rel(R, t):
+        Ri, Rj = R[:-1], R[1:]
+        ti, tj = t[:-1], t[1:]
+        R_ij = jnp.einsum("eba,ebc->eac", Rj, Ri)
+        t_ij = jnp.einsum("eba,eb->ea", Rj, ti - tj)
+        return R_ij, t_ij
+
+    Rp, tp = rel(R_pred, t_pred)
+    Rt, tt = rel(R_true, t_true)
+    dR = jnp.einsum("eba,ebc->eac", Rp, Rt)
+    ang = jnp.degrees(jnp.linalg.norm(log_so3(dR), axis=-1))
+    dt = jnp.linalg.norm(tp - tt, axis=-1)
+    return ang, dt

@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="load --retrain_path and evaluate the test split "
                         "(the working version of the reference's "
                         "model_eval.py)")
+    p.add_argument("--save-vis", type=str, default=None, metavar="DIR",
+                   help="with --eval-only: save {i}_gt.npy/{i}_pred.npy "
+                        "cloud pairs + vis.pcd to DIR (vis_utils.py parity)")
     return p
 
 
@@ -130,6 +133,42 @@ def main(argv=None) -> None:
                            seed=train_cfg.seed + 1, shuffle=False)
         )
         print("eval:", out)
+        if args.save_vis:
+            import numpy as np
+
+            from deepvcp_tpu.ops import apply_rigid
+            from deepvcp_tpu.registration import Registrar
+            from deepvcp_tpu.utils.vis import draw, save_cloud_pair
+
+            reg = Registrar(
+                model_cfg,
+                {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats},
+            )
+            import jax.numpy as jnp
+
+            for n_batch, (src, tgt, R_gt, t_gt) in enumerate(
+                batch_iterator(test_data, train_cfg.batch_size, epoch=0,
+                               seed=train_cfg.seed + 1, shuffle=False)
+            ):
+                r = reg(jnp.asarray(src), jnp.asarray(tgt))
+                pred = np.asarray(
+                    apply_rigid(jnp.asarray(src[..., :3]), r.R, r.t)
+                )
+                for b in range(src.shape[0]):
+                    save_cloud_pair(
+                        args.save_vis,
+                        n_batch * train_cfg.batch_size + b,
+                        tgt[b, :, :3],
+                        pred[b],
+                    )
+            import os
+
+            draw(
+                [tgt[0, :, :3], pred[0]],
+                os.path.join(args.save_vis, "vis.pcd"),
+            )
+            print(f"vis saved to {args.save_vis}")
         return
 
     def train_batches(epoch):
