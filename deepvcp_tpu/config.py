@@ -84,6 +84,10 @@ class DeepVCPConfig:
     # points; larger tiles -> fewer rolls -> faster compile, slightly wider
     # bands).
     band_tile: int = 256
+    # Use the Pallas banded-masked-max kernel for SA pooling at inference
+    # (ops/pallas/band_max_kernel.py). Training always uses the XLA path
+    # (the kernel has no VJP yet).
+    use_pallas_band_max: bool = False
 
     @property
     def in_channels(self) -> int:

@@ -127,12 +127,20 @@ class KITTIDataset:
 
     def _load(self, index: int) -> np.ndarray:
         if index not in self._cache:
-            scan = read_velodyne_bin(self.files[index])
-            self._cache[index] = resample(
-                scan[:, :3].astype(np.float64),
-                self.num_points,
-                self._downsample_rng,
-            )
+            from deepvcp_tpu import native
+
+            if native.available():
+                # native C++ read + downsample (native/pointcloud.cc)
+                self._cache[index] = native.velodyne_load_downsample(
+                    self.files[index], self.num_points, seed=index
+                ).astype(np.float64)
+            else:
+                scan = read_velodyne_bin(self.files[index])
+                self._cache[index] = resample(
+                    scan[:, :3].astype(np.float64),
+                    self.num_points,
+                    self._downsample_rng,
+                )
         return self._cache[index]
 
     def __len__(self) -> int:

@@ -85,6 +85,7 @@ class BandedSetAbstraction(nn.Module):
     use_batchnorm: bool = True
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    use_pallas: bool = False  # Pallas band-max kernel (inference only)
 
     @nn.compact
     def __call__(
@@ -113,6 +114,18 @@ class BandedSetAbstraction(nn.Module):
                 c0, use_bias=False, dtype=dt, name="proj_feat"
             )(features.astype(dt))
         b0 = self.param("bias0", nn.initializers.zeros, (c0,), dt)
+
+        if self.use_pallas and not train:
+            # Pallas kernel path: the band is a view over the sorted arrays,
+            # never copied (no VJP yet -> inference only).
+            from deepvcp_tpu.ops.pallas import banded_masked_max
+
+            max_u = banded_masked_max(
+                sorted_xyz, u, cfg.radius, half=self.window, tile=min(w, 512)
+            )
+            pooled = max_u.astype(dt) - p + b0
+            h = nn.relu(pooled)
+            return self._mlp_tail(h, train)
 
         # tiling + banding (no gathers)
         xyz_p = pad_to_tiles(sorted_xyz.astype(dt), w, 1e7)
@@ -146,6 +159,13 @@ class BandedSetAbstraction(nn.Module):
         # relu(max) == max(relu); also rescues the (impossible in practice)
         # empty-neighborhood rows from -inf
         h = nn.relu(pooled)
+        return self._mlp_tail(h, train)
+
+    def _mlp_tail(self, h: jax.Array, train: bool) -> jax.Array:
+        """Per-point BN + MLP tail (shared by the XLA and Pallas paths;
+        called from within the compact __call__)."""
+        cfg = self.layer
+        dt = self.dtype
 
         def norm(x, i):
             if not self.use_batchnorm:

@@ -187,6 +187,7 @@ class FeatureExtraction(nn.Module):
                     use_batchnorm=cfg.use_batchnorm,
                     axis_name=self.axis_name,
                     dtype=self.dtype,
+                    use_pallas=cfg.use_pallas_band_max,
                     name=f"sa{i + 1}",
                 )(xyz, feats, train)
             else:
