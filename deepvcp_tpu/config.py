@@ -137,6 +137,9 @@ class TrainConfig:
     learning_rate: float = 1e-3
     alpha: float = 0.5               # loss balancing factor
     inlier_ratio: float = 0.8        # SVD outlier rejection keep-fraction
+    grad_clip_norm: float = 10.0     # global-norm clip; 0 disables
+                                     # (untrained grads spike to ~1e4 through
+                                     # the SVD backward — observed)
     seed: int = 0
     checkpoint_dir: str = "checkpoints"
     checkpoint_every_epochs: int = 1

@@ -6,6 +6,11 @@ from deepvcp_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from deepvcp_tpu.parallel.multihost import (
+    host_shard_info,
+    initialize_multihost,
+    is_primary_host,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -14,4 +19,7 @@ __all__ = [
     "batch_pair_sharding",
     "replicated",
     "shard_batch",
+    "initialize_multihost",
+    "host_shard_info",
+    "is_primary_host",
 ]

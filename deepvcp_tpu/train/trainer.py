@@ -56,7 +56,13 @@ def create_train_state(
     variables = model.init(rng, src, tgt, R, jnp.zeros_like(t), train=False)
     params = _unfreeze(variables.get("params"))
     batch_stats = _unfreeze(variables.get("batch_stats", {}))
-    tx = optax.adam(cfg.learning_rate)
+    if cfg.grad_clip_norm > 0:
+        tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip_norm),
+            optax.adam(cfg.learning_rate),
+        )
+    else:
+        tx = optax.adam(cfg.learning_rate)
     opt_state = tx.init(params)
     return (
         TrainState(
