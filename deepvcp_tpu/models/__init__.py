@@ -1,4 +1,6 @@
 from deepvcp_tpu.models.deepvcp import DeepVCP, create_deepvcp
+from deepvcp_tpu.models.extra_layers import FeaturePropagation, SetAbstractionMSG
+from deepvcp_tpu.models.fused_sa import BandedSetAbstraction
 from deepvcp_tpu.models.layers import (
     CPG,
     FeatEmbedding,
@@ -11,6 +13,9 @@ __all__ = [
     "DeepVCP",
     "create_deepvcp",
     "SetAbstraction",
+    "BandedSetAbstraction",
+    "SetAbstractionMSG",
+    "FeaturePropagation",
     "FeatureExtraction",
     "WeightingLayer",
     "FeatEmbedding",

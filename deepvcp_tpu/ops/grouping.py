@@ -21,6 +21,32 @@ import jax.numpy as jnp
 from deepvcp_tpu.ops.distance import map_query_chunks, square_distance
 
 
+def pc_normalize(pc: jax.Array) -> jax.Array:
+    """Center a cloud and scale to the unit sphere
+    (ref pointnet2_utils.py:11-17). pc [..., N, 3] -> same shape."""
+    centroid = jnp.mean(pc, axis=-2, keepdims=True)
+    pc = pc - centroid
+    m = jnp.max(jnp.linalg.norm(pc, axis=-1), axis=-1)
+    return pc / (m[..., None, None] + 1e-12)
+
+
+def group_all(
+    xyz: jax.Array, features: Optional[jax.Array] = None
+) -> Tuple[jax.Array, jax.Array]:
+    """Single all-points group centered at the origin
+    (ref pointnet2_utils.py:141-158, the group_all SA variant).
+
+    Returns (new_xyz [B, 1, 3] zeros, grouped [B, 1, N, 3+D])."""
+    B, N, C = xyz.shape
+    new_xyz = jnp.zeros((B, 1, C), xyz.dtype)
+    grouped = xyz[:, None, :, :]
+    if features is not None:
+        grouped = jnp.concatenate(
+            [grouped, features[:, None, :, :]], axis=-1
+        )
+    return new_xyz, grouped
+
+
 def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     """Gather points by index, batched.
 
