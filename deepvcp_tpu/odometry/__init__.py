@@ -13,6 +13,7 @@ from deepvcp_tpu.odometry.pose_graph import (
     hat,
     log_so3,
     optimize_pose_graph,
+    optimize_pose_graph_sharded,
     relative_pose_errors,
 )
 
@@ -20,6 +21,7 @@ __all__ = [
     "chain_poses",
     "build_graph",
     "optimize_pose_graph",
+    "optimize_pose_graph_sharded",
     "absolute_trajectory_error",
     "relative_pose_errors",
     "PoseGraph",

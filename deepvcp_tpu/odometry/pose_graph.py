@@ -16,6 +16,7 @@ via damped Gauss-Newton with jax.grad/jacobians on the manifold increments.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -216,6 +217,109 @@ def optimize_pose_graph(
     (R_out, t_out), _ = jax.lax.scan(
         gn_step, (R_init.astype(dtype), t_init.astype(dtype)),
         None, length=num_iters,
+    )
+    return R_out, t_out
+
+
+def optimize_pose_graph_sharded(
+    graph: PoseGraph,
+    R_init: jax.Array,
+    t_init: jax.Array,
+    mesh,
+    num_iters: int = 20,
+    damping: float = 1e-3,
+    rot_weight: float = 1.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Distributed bundle adjustment: edges sharded over the mesh's "data"
+    axis, the normal equations H = sum_e J_e^T J_e and g = sum_e J_e^T r_e
+    accumulated with a `psum` collective (over ICI on a pod slice), dense
+    solve replicated. This is the collective-reduction BA design of
+    BASELINE.json configs 4-5 (pose-only graphs need no landmark Schur
+    complement; the Schur extension point is the same edge-sharded psum).
+
+    Numerically identical to `optimize_pose_graph` (verified in tests on
+    the CPU mesh).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from deepvcp_tpu.parallel.mesh import DATA_AXIS
+
+    num_nodes = R_init.shape[0]
+    dtype = jnp.float32
+    n_shards = mesh.shape[DATA_AXIS]
+    E = graph.edges_i.shape[0]
+    pad = (-E) % n_shards
+    # pad with zero-weight self-edges (0, 0, identity) — exact no-ops
+    def pad_edges(g: PoseGraph) -> PoseGraph:
+        if pad == 0:
+            return g
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (pad, 3, 3))
+        return PoseGraph(
+            edges_i=jnp.concatenate([g.edges_i, jnp.zeros(pad, jnp.int32)]),
+            edges_j=jnp.concatenate([g.edges_j, jnp.zeros(pad, jnp.int32)]),
+            R_meas=jnp.concatenate([g.R_meas.astype(dtype), eye]),
+            t_meas=jnp.concatenate(
+                [g.t_meas.astype(dtype), jnp.zeros((pad, 3), dtype)]
+            ),
+            weights=jnp.concatenate([g.weights.astype(dtype), jnp.zeros(pad, dtype)]),
+        )
+
+    gp = pad_edges(graph)
+
+    def unpack(delta):
+        dw = delta[:, :3].at[0].set(0.0)
+        dt = delta[:, 3:].at[0].set(0.0)
+        return dw, dt
+
+    def shard_residual(delta, R_abs, t_abs, edges):
+        ei, ej, Rm, tm, w = edges
+        dw, dt = unpack(delta)
+        R_new = R_abs @ exp_so3(dw)
+        t_new = t_abs + dt
+        sub = PoseGraph(ei, ej, Rm, tm, w)
+        r_rot, r_trans = _edge_residuals(sub, R_new, t_new)
+        return jnp.concatenate(
+            [rot_weight * r_rot.reshape(-1), r_trans.reshape(-1)]
+        )
+
+    edge_spec = (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), edge_spec),
+        out_specs=(P(), P()),
+    )
+    def normal_equations(R_abs, t_abs, edges):
+        delta0 = jnp.zeros((num_nodes, 6), dtype)
+        J = jax.jacfwd(lambda d: shard_residual(d, R_abs, t_abs, edges))(
+            delta0
+        ).reshape(-1, num_nodes * 6)
+        r = shard_residual(delta0, R_abs, t_abs, edges)
+        H_part = J.T @ J
+        g_part = J.T @ r
+        # the collective: sum partial normal equations over the edge shards
+        return (
+            jax.lax.psum(H_part, DATA_AXIS),
+            jax.lax.psum(g_part, DATA_AXIS),
+        )
+
+    edges = (gp.edges_i, gp.edges_j, gp.R_meas, gp.t_meas, gp.weights)
+
+    def gn_step(carry, _):
+        R_abs, t_abs = carry
+        H, g = normal_equations(R_abs, t_abs, edges)
+        H = H + damping * jnp.eye(num_nodes * 6, dtype=dtype)
+        delta = -jnp.linalg.solve(H, g).reshape(num_nodes, 6)
+        dw, dt = unpack(delta)
+        return (R_abs @ exp_so3(dw), t_abs + dt), None
+
+    (R_out, t_out), _ = jax.lax.scan(
+        gn_step,
+        (R_init.astype(dtype), t_init.astype(dtype)),
+        None,
+        length=num_iters,
     )
     return R_out, t_out
 
