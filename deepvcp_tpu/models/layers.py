@@ -251,7 +251,13 @@ class FeatEmbedding(nn.Module):
 class CPG(nn.Module):
     """Corresponding-point generation (ref cpg.py:18-60): squared-difference
     cost volume on the voxel grid -> 3 x Conv3D (no nonlinearity, matching
-    cpg.py:45-47) -> softmax over candidates -> weighted-centroid VCP."""
+    cpg.py:45-47) -> softmax over candidates -> weighted-centroid VCP.
+
+    Fixes reference defect D11: cpg.py:34 reshapes its [B,N,32,C] input
+    straight to the (gs,gs,gs,32) grid without permuting, scrambling the
+    feature and candidate axes; here the volume is laid out candidate-major
+    as intended (parity against the reference's conv machinery is in
+    tests/test_reference_parity.py::TestCPG)."""
 
     channels: Tuple[int, ...] = (16, 4, 1)
     grid_size: int = 6
