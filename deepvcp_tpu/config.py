@@ -140,6 +140,11 @@ class TrainConfig:
     grad_clip_norm: float = 10.0     # global-norm clip; 0 disables
                                      # (untrained grads spike to ~1e4 through
                                      # the SVD backward — observed)
+    # Weight the SVD solves by keypoint saliency (the paper's weighted
+    # Kabsch). The reference's weighting layer receives NO gradient (its
+    # output only picks top-k indices, weighting_layer.py:31-33); with this
+    # on, saliency flows into the loss and the layer actually trains.
+    use_saliency_weights: bool = False
     seed: int = 0
     checkpoint_dir: str = "checkpoints"
     checkpoint_every_epochs: int = 1

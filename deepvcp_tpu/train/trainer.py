@@ -90,8 +90,12 @@ def build_train_step(model: DeepVCP, tx, cfg: TrainConfig):
             train=True,
             mutable=["batch_stats"],
         )
+        weights = (
+            aux["keypoint_saliency"] if cfg.use_saliency_weights else None
+        )
         res = deepvcp_loss(
-            kp, vcp, R_gt, t_gt, alpha=cfg.alpha, inlier_ratio=cfg.inlier_ratio
+            kp, vcp, R_gt, t_gt, alpha=cfg.alpha,
+            inlier_ratio=cfg.inlier_ratio, weights=weights,
         )
         return res.loss, (res, updates["batch_stats"])
 
