@@ -8,6 +8,7 @@ from deepvcp_tpu.ops.grouping import (
     index_points,
     pc_normalize,
     query_ball_point,
+    sample_and_group,
 )
 from deepvcp_tpu.ops.kabsch import apply_rigid, kabsch
 from deepvcp_tpu.ops.knn import knn, nearest_neighbor_dist
@@ -22,6 +23,7 @@ __all__ = [
     "group_all",
     "query_ball_point",
     "group_neighbors",
+    "sample_and_group",
     "kabsch",
     "apply_rigid",
     "knn",

@@ -104,6 +104,33 @@ def query_ball_point(
     return map_query_chunks(run, new_xyz, chunk)
 
 
+def sample_and_group(
+    npoint: int,
+    radius: float,
+    nsample: int,
+    xyz: jax.Array,
+    features: Optional[jax.Array] = None,
+    chunk: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """FPS-sample npoint centroids, then ball-query group (the reference's
+    `sample_and_group`, pointnet2_utils.py:110-138; npoint == N skips the
+    FPS permutation).
+
+    Returns (new_xyz [B, npoint, 3], grouped [B, npoint, nsample, 3+D],
+    idx [B, npoint, nsample])."""
+    from deepvcp_tpu.ops.sampling import farthest_point_sample
+
+    if npoint == xyz.shape[1]:
+        new_xyz = xyz
+    else:
+        fps_idx = farthest_point_sample(xyz, npoint)
+        new_xyz = index_points(xyz, fps_idx)
+    grouped, _, idx = group_neighbors(
+        radius, nsample, xyz, new_xyz, features, chunk=chunk
+    )
+    return new_xyz, grouped, idx
+
+
 def group_neighbors(
     radius: float,
     nsample: int,
