@@ -37,28 +37,27 @@ def _band_max_kernel(xyz_ref, u_ref, q_ref, out_ref, *, radius2, half, w, N):
     bw = w + 2 * half
     # clamp the band window inside [0, N - bw]
     start = jnp.clip(i * w - half, 0, N - bw)
-    band_xyz = xyz_ref[0, pl.ds(start, bw), :]          # [bw, 3]
-    band_u = u_ref[0, pl.ds(start, bw), :]              # [bw, C]
     q = q_ref[0]                                        # [w, 3]
 
-    d2 = (
-        jnp.square(q[:, 0:1] - band_xyz[:, 0][None, :])
-        + jnp.square(q[:, 1:2] - band_xyz[:, 1][None, :])
-        + jnp.square(q[:, 2:3] - band_xyz[:, 2][None, :])
-    )                                                   # [w, bw]
-    mask = d2 <= radius2
-
     def body(j, acc):
-        m = jax.lax.dynamic_slice_in_dim(mask, j * 128, 128, axis=1)
-        uu = jax.lax.dynamic_slice_in_dim(band_u, j * 128, 128, axis=0)
+        # read one 128-row band chunk straight from the refs (Mosaic
+        # supports dynamic slices on refs, not on computed arrays)
+        off = start + j * 128
+        bx = xyz_ref[0, pl.ds(off, 128), :]             # [128, 3]
+        bu = u_ref[0, pl.ds(off, 128), :]               # [128, C]
+        d2 = (
+            jnp.square(q[:, 0:1] - bx[:, 0][None, :])
+            + jnp.square(q[:, 1:2] - bx[:, 1][None, :])
+            + jnp.square(q[:, 2:3] - bx[:, 2][None, :])
+        )                                               # [w, 128]
+        m = d2 <= radius2
         cand = jnp.where(
-            m[:, :, None], uu[None, :, :], _NEG
+            m[:, :, None], bu[None, :, :], _NEG
         )                                               # [w, 128, C]
         return jnp.maximum(acc, jnp.max(cand, axis=1))
 
     acc0 = jnp.full((w, C), _NEG, jnp.float32)
-    nchunks = bw // 128
-    acc = jax.lax.fori_loop(0, nchunks, body, acc0)
+    acc = jax.lax.fori_loop(0, bw // 128, body, acc0)
     out_ref[0] = acc
 
 
