@@ -50,10 +50,10 @@ def _band_max_kernel(xyz_ref, u_ref, q_ref, out_ref, *, radius2, half, w, N):
             + jnp.square(q[:, 1:2] - bx[:, 1][None, :])
             + jnp.square(q[:, 2:3] - bx[:, 2][None, :])
         )                                               # [w, 128]
-        m = d2 <= radius2
-        cand = jnp.where(
-            m[:, :, None], bu[None, :, :], _NEG
-        )                                               # [w, 128, C]
+        # additive f32 mask: Mosaic only supports minor-dim broadcast
+        # insertion for 32-bit types (bool masks fail to lower)
+        pen = jnp.where(d2 <= radius2, 0.0, _NEG).astype(jnp.float32)
+        cand = bu[None, :, :] + pen[:, :, None]         # [w, 128, C]
         return jnp.maximum(acc, jnp.max(cand, axis=1))
 
     acc0 = jnp.full((w, C), _NEG, jnp.float32)

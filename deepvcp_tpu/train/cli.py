@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="load --retrain_path and evaluate the test split "
                         "(the working version of the reference's "
                         "model_eval.py)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in "
+                        "--checkpoint-dir (elastic restart)")
     p.add_argument("--save-vis", type=str, default=None, metavar="DIR",
                    help="with --eval-only: save {i}_gt.npy/{i}_pred.npy "
                         "cloud pairs + vis.pcd to DIR (vis_utils.py parity)")
@@ -182,7 +185,7 @@ def main(argv=None) -> None:
             seed=train_cfg.seed + 1, shuffle=False,
         )
 
-    trainer.fit(train_batches, eval_batches)
+    trainer.fit(train_batches, eval_batches, resume=args.resume)
     path = trainer.save_checkpoint(args.model_path)
     print(f"Finished Training; final checkpoint at {path}")
 

@@ -178,7 +178,9 @@ class Trainer:
         self._tx = None
 
     # -- checkpointing ------------------------------------------------------
-    def save_checkpoint(self, tag: str) -> str:
+    def save_checkpoint(self, tag: str, epoch: Optional[int] = None) -> str:
+        import json
+
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(os.path.join(self.cfg.checkpoint_dir, tag))
@@ -190,7 +192,37 @@ class Trainer:
         }
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(path, ckpt, force=True)
+        # resume marker for elastic restarts (SURVEY.md §5 failure
+        # detection: the reference's closest capability is manual
+        # --retrain_path, train.py:83-85). Only epoch-tagged saves update
+        # it — ad-hoc saves (e.g. the final model alias) must not clobber
+        # the resume point.
+        if epoch is not None:
+            marker = os.path.join(
+                os.path.abspath(self.cfg.checkpoint_dir), "latest.json"
+            )
+            with open(marker, "w") as fh:
+                json.dump(
+                    {"tag": tag, "epoch": epoch, "step": int(self.state.step)},
+                    fh,
+                )
         return path
+
+    def latest_checkpoint(self) -> Optional[dict]:
+        """The resume marker written by save_checkpoint, or None."""
+        import json
+
+        marker = os.path.join(
+            os.path.abspath(self.cfg.checkpoint_dir), "latest.json"
+        )
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as fh:
+            info = json.load(fh)
+        info["path"] = os.path.join(
+            os.path.abspath(self.cfg.checkpoint_dir), info["tag"]
+        )
+        return info
 
     def load_checkpoint(self, path: str) -> None:
         import orbax.checkpoint as ocp
@@ -259,13 +291,30 @@ class Trainer:
         self.metrics.log({"kind": "eval", "epoch": epoch, **out})
         return out
 
-    def fit(self, make_train_batches, make_eval_batches=None) -> None:
-        """make_train_batches(epoch) -> iterator of (src, tgt, R, t)."""
-        for epoch in range(self.cfg.num_epochs):
+    def fit(
+        self, make_train_batches, make_eval_batches=None, resume: bool = False
+    ) -> None:
+        """make_train_batches(epoch) -> iterator of (src, tgt, R, t).
+
+        With resume=True, restart from the latest checkpoint marker in
+        checkpoint_dir (elastic recovery: a killed run continues at the
+        next epoch with identical data order, since batches are seeded
+        per epoch)."""
+        start_epoch = 0
+        if resume:
+            info = self.latest_checkpoint()
+            if info is not None and info.get("epoch") is not None:
+                self.load_checkpoint(info["path"])
+                start_epoch = int(info["epoch"]) + 1
+                self.metrics.log(
+                    {"kind": "resume", "epoch": start_epoch,
+                     "step": info.get("step", -1)}
+                )
+        for epoch in range(start_epoch, self.cfg.num_epochs):
             avg = self.train_epoch(make_train_batches(epoch), epoch)
             self.metrics.log({"kind": "epoch", "epoch": epoch, **avg})
             if (epoch + 1) % self.cfg.checkpoint_every_epochs == 0:
-                self.save_checkpoint(f"epoch_{epoch}")
+                self.save_checkpoint(f"epoch_{epoch}", epoch=epoch)
             if make_eval_batches is not None:
                 self.evaluate(make_eval_batches(epoch), epoch)
-        self.save_checkpoint("final")
+        self.save_checkpoint("final", epoch=self.cfg.num_epochs - 1)
