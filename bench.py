@@ -52,6 +52,24 @@ def main() -> None:
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
+    import jax.numpy as _jnp
+    import numpy as _np
+
+    # The TPU tunnel in this environment can take minutes to accept a new
+    # client after an abnormal disconnect; probe patiently before timing.
+    t0 = time.time()
+    while True:
+        try:
+            _np.asarray(jax.jit(lambda x: x + 1)(_jnp.zeros(2)))
+            break
+        except Exception as e:  # pragma: no cover
+            if time.time() - t0 > 3600:
+                raise
+            print(f"device probe failed ({type(e).__name__}); retrying",
+                  file=sys.stderr)
+            time.sleep(60)
+    print(f"device responsive after {time.time() - t0:.0f}s", file=sys.stderr)
+
     cfg = DeepVCPConfig(num_points=args.num_points, use_normal=False)
     model = DeepVCP(cfg=cfg)
 

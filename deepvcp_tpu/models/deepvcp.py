@@ -20,7 +20,7 @@ Reference defects fixed here (SURVEY.md §2.12 "Known defects"):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax

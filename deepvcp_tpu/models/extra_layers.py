@@ -15,8 +15,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from deepvcp_tpu.config import SALayerConfig
-from deepvcp_tpu.models.layers import SetAbstraction
 from deepvcp_tpu.ops import (
     farthest_point_sample,
     group_neighbors,

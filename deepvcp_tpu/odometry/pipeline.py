@@ -9,7 +9,7 @@ registration + pose-graph optimization over a full sequence."
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

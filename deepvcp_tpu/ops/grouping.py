@@ -12,7 +12,6 @@ Capability parity with the reference's `index_points` / `query_ball_point` /
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

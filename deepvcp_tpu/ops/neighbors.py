@@ -29,12 +29,11 @@ extension (get_cat_feat_tgt.py:44-52) on the hot path.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from deepvcp_tpu.ops.distance import square_distance
 
 
 class SortedCloud(NamedTuple):

@@ -33,7 +33,7 @@ def main(argv=None):
     from deepvcp_tpu.loss.registration import svd_refine
     from deepvcp_tpu.models import DeepVCP, FeatureExtraction
     from deepvcp_tpu.models.layers import CPG, FeatEmbedding, WeightingLayer
-    from deepvcp_tpu.ops import apply_rigid, index_points, voxelize
+    from deepvcp_tpu.ops import index_points, voxelize
     from deepvcp_tpu.ops.neighbors import sort_cloud, windowed_knn
     from deepvcp_tpu.utils.profiling import StageTimer
 

@@ -8,7 +8,6 @@
 from __future__ import annotations
 
 import argparse
-import dataclasses
 
 from deepvcp_tpu.config import DeepVCPConfig, TrainConfig
 

@@ -6,7 +6,6 @@ scipy just for Euler conversion, train.py:113-116).
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
