@@ -78,13 +78,13 @@ def ring_knn(
         B, m, _ = query_shard.shape
         # mark the running top-k buffers as varying over the ring axis so
         # the scan carry types match (the loop outputs are device-varying)
+        def varying(x):
+            return jax.lax.pcast(x, POINT_AXIS, to="varying")
         init = (
             ref_shard,
             me,
-            jax.lax.pvary(
-                jnp.full((B, m, k), jnp.inf, query_shard.dtype), POINT_AXIS
-            ),
-            jax.lax.pvary(jnp.zeros((B, m, k), jnp.int32), POINT_AXIS),
+            varying(jnp.full((B, m, k), jnp.inf, query_shard.dtype)),
+            varying(jnp.zeros((B, m, k), jnp.int32)),
         )
         (block, owner, best_d, best_i), _ = jax.lax.scan(
             step, init, None, length=n_dev
