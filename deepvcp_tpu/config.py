@@ -90,9 +90,11 @@ class DeepVCPConfig:
     # bands).
     band_tile: int = 256
     # Use the Pallas banded-masked-max kernel for SA pooling at inference
-    # (ops/pallas/band_max_kernel.py). Training always uses the XLA path
-    # (the kernel has no VJP yet).
-    use_pallas_band_max: bool = False
+    # on TPU (ops/pallas/band_max_kernel.py): exact dynamic slab bounds
+    # instead of the XLA path's static worst-case band — measured 1.6x on
+    # the FE stack (v5e). Training (and CPU) always use the XLA path (the
+    # kernel has no VJP yet).
+    use_pallas_band_max: bool = True
 
     @property
     def in_channels(self) -> int:

@@ -3,9 +3,11 @@
 This is the TPU replacement for the reference's single native component, the
 `knn_cuda` CUDA extension (used at get_cat_feat_tgt.py:45-52 with k=32 and
 deepVCP_loss.py:70-72 with k=1). The distance matrix rides the MXU as one
-matmul per query tile; `lax.top_k` extracts the k smallest. A chunked driver
-bounds memory to one [chunk, N] tile, and a Pallas streaming kernel
-(ops/pallas/knn_kernel.py) covers the large-cloud hot path.
+matmul per query tile and a chunked driver bounds memory to one [chunk, N]
+tile. `knn` extracts the k smallest with exact `lax.top_k`; `approx_knn`
+uses the TPU-native `lax.approx_min_k` partial reduction (the model's hot
+path). Clouds too large for one chip shard over the mesh's point axis via
+ops.distributed.ring_knn.
 """
 
 from __future__ import annotations

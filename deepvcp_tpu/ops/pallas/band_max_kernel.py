@@ -1,18 +1,30 @@
-"""Pallas TPU kernel: banded masked max-pool.
+"""Pallas TPU kernel: banded masked max-pool with dynamic slab bounds.
 
 The inner loop of the banded SA stage (models/fused_sa.py):
 
-    pooled[q, c] = max over n in [q's band] of (|x_n - x_q|^2 <= r^2
-                                                ?  u[n, c] : -inf)
+    pooled[q, c] = max over in-radius n (|x_n - x_q|^2 <= r^2)
+                   of u[n, c],  candidates drawn from the sorted-axis slab
 
-The XLA version builds the band by roll+concat in HBM ([T, bw, c] copies)
-and trusts fusion for the select+reduce. This kernel instead walks the
-sorted arrays directly: for query tile i it reads the contiguous slab
-[i*w - half : (i+1)*w + half] of xyz and u straight from the inputs (the
-band is a VIEW, never a copy), computes the distance mask on the VPU, and
-reduces in VMEM. HBM traffic drops from (2*Kb+1)x to ~2x of the point data.
+The XLA banded path must take a WORST-CASE static band (safety x expected
+slab occupancy, models/fused_sa.py band_of) because XLA shapes are static;
+with window_safety=4 that is ~4x more candidate pairs than the true slab.
+This kernel instead computes each query tile's exact slab bounds
+[first x >= x_lo, last x <= x_hi] with a searchsorted OUTSIDE the kernel,
+prefetches them as scalars (PrefetchScalarGridSpec), and runs a
+dynamic-trip-count loop over only the occupied 128-point chunks — the
+band is a VMEM view of the resident sorted arrays, never a rolled copy,
+and the work is N x slab x C instead of N x band x C.
 
-Grid: (B, T) — one program per query tile.
+Layout: features are pre-transposed to [B, C, N] so each chunk read
+[C, 128] and the pair tensor [w, C, 128] keep 128 on the minor (lane)
+axis; the chunk max reduces over lanes.
+
+Coverage note: the XLA path caps candidates at +-half sorted positions;
+this kernel covers the FULL in-radius slab (a superset — exact cap-free
+in-radius semantics). Results are identical whenever the static band
+covers the slab, which window_for guarantees at the configured extent.
+
+Grid: (B, T) — one program per query tile of `tile` points.
 """
 
 from __future__ import annotations
@@ -22,28 +34,33 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30  # plain float: jnp scalars become captured tracers in kernels
 
 
-def _band_max_kernel(xyz_ref, u_ref, q_ref, out_ref, *, radius2, half, w, N):
+def _band_max_kernel(
+    lo_ref, n_ref, xyz_ref, ut_ref, q_ref, out_ref, *, radius2, w, Np
+):
     """Block shapes:
-        xyz_ref [1, N, 3] (full sorted cloud), u_ref [1, N, C],
-        q_ref [1, w, 3] (this tile's queries), out_ref [1, w, C].
+        lo_ref [B, T] int32 (SMEM, scalar-prefetch): 128-aligned slab start;
+        n_ref [B, T] int32: number of 128-point chunks in the slab;
+        xyz_ref [1, Np, 3] (full sorted cloud), ut_ref [1, C, Np]
+        (features, channel-major), q_ref [1, w, 3] (this tile's queries),
+        out_ref [1, w, C].
     """
+    b = pl.program_id(0)
     i = pl.program_id(1)
-    C = u_ref.shape[2]
-    bw = w + 2 * half
-    # clamp the band window inside [0, N - bw]
-    start = jnp.clip(i * w - half, 0, N - bw)
+    C = ut_ref.shape[1]
+    start = lo_ref[b, i]
     q = q_ref[0]                                        # [w, 3]
 
     def body(j, acc):
-        # read one 128-row band chunk straight from the refs (Mosaic
-        # supports dynamic slices on refs, not on computed arrays)
-        off = start + j * 128
+        # start is host-aligned to 128 and Np is a multiple of 128, but
+        # Mosaic needs the proof for lane-dim dynamic slices
+        off = pl.multiple_of(jnp.minimum(start + j * 128, Np - 128), 128)
         bx = xyz_ref[0, pl.ds(off, 128), :]             # [128, 3]
-        bu = u_ref[0, pl.ds(off, 128), :]               # [128, C]
+        bu = ut_ref[0, :, pl.ds(off, 128)]              # [C, 128]
         d2 = (
             jnp.square(q[:, 0:1] - bx[:, 0][None, :])
             + jnp.square(q[:, 1:2] - bx[:, 1][None, :])
@@ -52,12 +69,11 @@ def _band_max_kernel(xyz_ref, u_ref, q_ref, out_ref, *, radius2, half, w, N):
         # additive f32 mask: Mosaic only supports minor-dim broadcast
         # insertion for 32-bit types (bool masks fail to lower)
         pen = jnp.where(d2 <= radius2, 0.0, _NEG).astype(jnp.float32)
-        cand = bu[None, :, :] + pen[:, :, None]         # [w, 128, C]
-        return jnp.maximum(acc, jnp.max(cand, axis=1))
+        cand = bu[None, :, :] + pen[:, None, :]         # [w, C, 128]
+        return jnp.maximum(acc, jnp.max(cand, axis=-1))
 
     acc0 = jnp.full((w, C), _NEG, jnp.float32)
-    acc = jax.lax.fori_loop(0, bw // 128, body, acc0)
-    out_ref[0] = acc
+    out_ref[0] = jax.lax.fori_loop(0, n_ref[b, i], body, acc0)
 
 
 @functools.partial(
@@ -67,24 +83,25 @@ def banded_masked_max(
     sorted_xyz: jax.Array,
     u: jax.Array,
     radius: float,
-    half: int,
+    half: int = 0,
     tile: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
-    """pooled[b, q, c] = max over n with |x_n - x_q| <= radius (within
-    +-half sorted positions) of u[b, n, c].
+    """pooled[b, q, c] = max over n with |x_n - x_q| <= radius of u[b, n, c].
 
-    sorted_xyz [B, N, 3] (sorted along one axis), u [B, N, C].
-    N must... is padded internally to a multiple of tile; half is rounded
-    up to a multiple of 128. Returns [B, N, C].
+    sorted_xyz [B, N, 3] (sorted along axis 0 of the coordinate), u
+    [B, N, C]. `half` is accepted for API compatibility with the static-band
+    XLA path but ignored: slab bounds are computed exactly per query tile
+    (see module docstring). Returns [B, N, C] float32.
     """
+    from deepvcp_tpu.ops.neighbors import searchsorted_batched
+
     B, N, _ = sorted_xyz.shape
     C = u.shape[-1]
     w = tile
     # CPU has no Mosaic backend; fall back to the interpreter so the same
     # model config runs everywhere (perf only matters on TPU anyway)
     interpret = interpret or jax.default_backend() == "cpu"
-    half = -(-half // 128) * 128
     pad = (-N) % w
     if pad:
         sorted_xyz = jnp.pad(
@@ -92,37 +109,49 @@ def banded_masked_max(
         )
         u = jnp.pad(u, [(0, 0), (0, pad), (0, 0)])
     Np = N + pad
-    # the kernel reads a [w + 2*half] slab; make sure it fits
-    if Np < w + 2 * half:
-        extra = w + 2 * half - Np
+    if Np < 128:  # kernel reads 128-point chunks
+        extra = 128 - Np
         sorted_xyz = jnp.pad(
             sorted_xyz, [(0, 0), (0, extra), (0, 0)], constant_values=1e7
         )
         u = jnp.pad(u, [(0, 0), (0, extra), (0, 0)])
         Np += extra
-    T = -(-N // w)
+    T = Np // w
+
+    # exact per-tile slab bounds (keys are the sort coordinate, ascending;
+    # padding keys are +1e7 so they never extend a real tile's slab)
+    key = sorted_xyz[..., 0]                               # [B, Np]
+    first = key[:, ::w]                                    # [B, T] tile mins
+    last = key[:, w - 1 :: w]                              # [B, T] tile maxs
+    lo = searchsorted_batched(key, first - radius)         # [B, T]
+    hi = searchsorted_batched(key, last + radius)          # [B, T]
+    lo = (lo // 128) * 128
+    # +1 chunk of slack against boundary-equal keys; clamp into range
+    n128 = jnp.clip((hi - lo + 255) // 128, 1, Np // 128 - lo // 128)
 
     kernel = functools.partial(
-        _band_max_kernel,
-        radius2=float(radius) ** 2,
-        half=half,
-        w=w,
-        N=Np,
+        _band_max_kernel, radius2=float(radius) ** 2, w=w, Np=Np
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec((1, Np, 3), lambda b, i, *_: (b, 0, 0)),
+            pl.BlockSpec((1, C, Np), lambda b, i, *_: (b, 0, 0)),
+            pl.BlockSpec((1, w, 3), lambda b, i, *_: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, w, C), lambda b, i, *_: (b, i, 0)),
     )
     out = pl.pallas_call(
         kernel,
-        grid=(B, T),
-        in_specs=[
-            pl.BlockSpec((1, Np, 3), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, Np, C), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, w, 3), lambda b, i: (b, i, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, w, C), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, T * w, C), jnp.float32),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Np, C), jnp.float32),
         interpret=interpret,
     )(
+        lo.astype(jnp.int32),
+        n128.astype(jnp.int32),
         sorted_xyz.astype(jnp.float32),
-        u.astype(jnp.float32),
-        sorted_xyz.astype(jnp.float32)[:, : T * w],
+        jnp.swapaxes(u.astype(jnp.float32), -1, -2),
+        sorted_xyz.astype(jnp.float32),
     )
     return out[:, :N]

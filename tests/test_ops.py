@@ -101,6 +101,29 @@ class TestKNN:
         got_d = np.take_along_axis(d, idx.astype(np.int64), axis=-1)
         np.testing.assert_allclose(got_d, want_dist, atol=1e-3)
 
+    @pytest.mark.parametrize("chunk", [None, 16])
+    def test_approx_knn_matches_exact(self, chunk):
+        # On CPU approx_min_k lowers to an exact reduction, so approx_knn
+        # must agree with the brute-force oracle (recall on TPU is the
+        # recall_target knob; measured 0.978 at the model operating point).
+        from deepvcp_tpu.ops.knn import approx_knn
+
+        ref = _rand((2, 40, 3), 13)
+        query = _rand((2, 21, 3), 14)
+        dist, idx = approx_knn(
+            jnp.asarray(ref), jnp.asarray(query), k=4, chunk=chunk
+        )
+        d = np.sqrt(
+            np.sum((query[:, :, None, :] - ref[:, None, :, :]) ** 2, -1)
+        )
+        want_idx = np.argsort(d, axis=-1, kind="stable")[..., :4]
+        want_dist = np.take_along_axis(d, want_idx, axis=-1)
+        got_d = np.take_along_axis(
+            d, np.asarray(idx).astype(np.int64), axis=-1
+        )
+        np.testing.assert_allclose(np.asarray(dist), want_dist, atol=1e-3)
+        np.testing.assert_allclose(got_d, want_dist, atol=1e-3)
+
     def test_nearest_neighbor_dist(self):
         ref = _rand((1, 25, 3), 11)
         query = _rand((1, 9, 3), 12)
