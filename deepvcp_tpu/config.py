@@ -85,6 +85,10 @@ class DeepVCPConfig:
     # Query-block size for the candidate approx-KNN [chunk, N] MXU tile
     # (4608 = 64 keypoints x 72 candidates; 3 chunks cover K*C=13824).
     knn_query_chunk: int = 4608
+    # Distance-tile dtype for candidate-KNN *selection* (the tile is the
+    # op's HBM cost; the model recomputes neighbor distances from gathered
+    # coordinates in f32). None = full f32 tile.
+    knn_select_dtype: str = "bfloat16"
     # Tile width for the banded SA stage (band = tiles of this many sorted
     # points; larger tiles -> fewer rolls -> faster compile, slightly wider
     # bands).

@@ -126,7 +126,8 @@ class DeepVCP(nn.Module):
         # exact-KNN oracle semantics.
         if cfg.neighbor_method in ("windowed", "banded"):
             _, tnb_idx = approx_knn(
-                tgt_xyz, cand_flat, ns, chunk=cfg.knn_query_chunk
+                tgt_xyz, cand_flat, ns, chunk=cfg.knn_query_chunk,
+                select_dtype=cfg.knn_select_dtype,
             )
         else:
             _, tnb_idx = knn(tgt_xyz, cand_flat, ns, chunk=cfg.query_chunk)

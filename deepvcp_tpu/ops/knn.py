@@ -55,6 +55,7 @@ def approx_knn(
     k: int,
     chunk: Optional[int] = None,
     recall_target: float = 0.95,
+    select_dtype: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """K nearest neighbors via the TPU-native partial reduction
     `jax.lax.approx_min_k` (the SoC-accelerated ScaNN-style reduction;
@@ -71,17 +72,41 @@ def approx_knn(
         k: neighbors per query.
         chunk: optional query-block size bounding the [chunk, N] tile.
         recall_target: approx_min_k quality knob (per-row expected recall).
+        select_dtype: optional reduced dtype (e.g. "bfloat16") for the
+            distance tile — selection only needs relative order, and the
+            [chunk, N] tile is the op's HBM-bandwidth cost; near-ties may
+            pick a different (equally near) neighbor. Returned distances
+            are then also reduced precision — recompute from gathered
+            coordinates where exact values matter (the model does).
     Returns:
         (dist [B, M, k] euclidean distances ascending,
          idx [B, M, k] int32 indices into N).
     """
+    sel = jnp.dtype(select_dtype) if select_dtype else None
 
     def run(q):
-        sqr = square_distance(q, ref)                      # [B, m, N] (MXU)
+        if sel is not None:
+            s2 = jnp.sum(jnp.square(q), axis=-1)
+            r2 = jnp.sum(jnp.square(ref), axis=-1)
+            cross = jnp.einsum(
+                "...nc,...mc->...nm",
+                q.astype(sel),
+                ref.astype(sel),
+                preferred_element_type=sel,
+            )
+            sqr = (
+                (s2[..., :, None] + r2[..., None, :]).astype(sel)
+                - 2.0 * cross
+            )                                              # [B, m, N] (sel)
+        else:
+            sqr = square_distance(q, ref)                  # [B, m, N] (MXU)
         d2, idx = jax.lax.approx_min_k(
             sqr, k, recall_target=recall_target
         )
-        return jnp.sqrt(jnp.maximum(d2, 0.0)), idx.astype(jnp.int32)
+        return (
+            jnp.sqrt(jnp.maximum(d2, 0.0).astype(jnp.float32)),
+            idx.astype(jnp.int32),
+        )
 
     if chunk is None:
         return run(query)

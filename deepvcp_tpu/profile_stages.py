@@ -34,7 +34,7 @@ def main(argv=None):
     from deepvcp_tpu.models import DeepVCP, FeatureExtraction
     from deepvcp_tpu.models.layers import CPG, FeatEmbedding, WeightingLayer
     from deepvcp_tpu.ops import index_points, voxelize
-    from deepvcp_tpu.ops.neighbors import sort_cloud, windowed_knn
+    from deepvcp_tpu.ops.knn import approx_knn
     from deepvcp_tpu.utils.profiling import StageTimer
 
     cfg = (
@@ -69,8 +69,9 @@ def main(argv=None):
     )
     f_wl = jax.jit(lambda f: wl.apply({"params": params["wl"]}, f))
     f_knn = jax.jit(
-        lambda t_, q_: windowed_knn(
-            sort_cloud(t_), q_, ns, min(cfg.knn_window, cfg.num_points)
+        lambda t_, q_: approx_knn(
+            t_, q_, ns, chunk=cfg.knn_query_chunk,
+            select_dtype=cfg.knn_select_dtype,
         )
     )
     f_dfe = jax.jit(lambda x: dfe.apply({"params": params["dfe"]}, x))
