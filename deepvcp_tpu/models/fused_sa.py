@@ -28,8 +28,9 @@ every gather and every sort-of-[S,N] from the hot path:
     pointwise keeps the same receptive field through stage stacking. The
     neighbor set is "all in-radius points in the band" — a cap-free
     superset of the reference's first-nsample selection (D1-adjacent).
-    Strict reference architecture remains available via
-    DeepVCPConfig(sa_impl="gather").
+    The reference MLP-then-pool architecture remains available via
+    DeepVCPConfig(neighbor_method="windowed") (sort-free gathers) or
+    "dense" (exact [S, N] oracle semantics).
 
 BatchNorm is applied to the pooled per-point activations (masked pair
 statistics are unnecessary: pooled rows are per-point, so plain BN over
@@ -39,6 +40,7 @@ gather path.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -71,6 +73,119 @@ def band_of(tiles: jax.Array, half_tiles: int) -> jax.Array:
     return jnp.concatenate(parts, axis=2)
 
 
+def xla_banded_max(
+    sorted_xyz: jax.Array,
+    u: jax.Array,
+    radius: float,
+    window: int,
+    tile: int,
+) -> jax.Array:
+    """Static-band masked max (pure XLA): for each point, the per-channel
+    max of u over all in-radius points within the roll/concat band. The
+    differentiable reference implementation behind `banded_max_pool` (and
+    the CPU path). Returns [B, N, C] in u's dtype."""
+    B, N, _ = sorted_xyz.shape
+    C = u.shape[-1]
+    w = min(tile, N)
+    r2 = jnp.asarray(radius * radius, sorted_xyz.dtype)
+    xyz_p = pad_to_tiles(sorted_xyz, w, 1e7)
+    u_p = pad_to_tiles(u, w, 0.0)
+    Np = xyz_p.shape[1]
+    T = Np // w
+    half = -(-window // w)
+    q_xyz = xyz_p.reshape(B, T, w, 3)
+    b_xyz = band_of(q_xyz, half)                       # [B,T,bw,3]
+    b_u = band_of(u_p.reshape(B, T, w, C), half)       # [B,T,bw,C]
+    d2 = jnp.sum(
+        jnp.square(q_xyz[..., :, None, :] - b_xyz[..., None, :, :]),
+        axis=-1,
+    )                                                  # [B,T,w,bw]
+    mask = d2 <= r2
+    max_u = jnp.max(
+        jnp.where(
+            mask[..., None], b_u[..., None, :, :], _NEG.astype(u.dtype)
+        ),
+        axis=-2,
+    )                                                  # [B,T,w,C]
+    return max_u.reshape(B, Np, C)[:, :N]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def banded_max_pool(
+    sorted_xyz: jax.Array,
+    u: jax.Array,
+    radius: float,
+    window: int,
+    tile: int,
+    use_kernel: bool,
+) -> jax.Array:
+    """Banded masked max pooling with a TPU Pallas forward and a banded
+    indicator backward.
+
+    Forward: the dynamic-slab Pallas kernel on TPU when use_kernel (exact
+    in-radius coverage, a superset of the static band whenever the band
+    under-covers); XLA static band otherwise. Backward: the band relation
+    is tile-symmetric (q is in n's tile-band iff n is in q's), so the
+    max's transpose is the same banded sweep with an argmax indicator:
+    grad_u[n, c] = sum over band queries q of g[q, c] * [in-radius and
+    u[n, c] == out[q, c]]. Exact ties receive the full cotangent each
+    (measure-zero for float features)."""
+    return xla_banded_max(sorted_xyz, u, radius, window, tile)
+
+
+def _bmp_fwd(sorted_xyz, u, radius, window, tile, use_kernel):
+    if use_kernel and jax.default_backend() == "tpu":
+        from deepvcp_tpu.ops.pallas import banded_masked_max
+
+        out = banded_masked_max(
+            sorted_xyz.astype(jnp.float32),
+            u.astype(jnp.float32),
+            float(radius),
+            half=window,
+            tile=128,
+            chunk=512,
+        ).astype(u.dtype)
+    else:
+        out = xla_banded_max(sorted_xyz, u, radius, window, tile)
+    return out, (sorted_xyz, u, out)
+
+
+def _bmp_bwd(radius, window, tile, use_kernel, res, g):
+    sorted_xyz, u, out = res
+    B, N, _ = sorted_xyz.shape
+    C = u.shape[-1]
+    w = min(tile, N)
+    r2 = jnp.asarray(radius * radius, sorted_xyz.dtype)
+    xyz_p = pad_to_tiles(sorted_xyz, w, 1e7)
+    g_p = pad_to_tiles(g, w, 0.0)        # padded queries contribute 0
+    out_p = pad_to_tiles(out, w, 0.0)
+    u_p = pad_to_tiles(u, w, 0.0)
+    Np = xyz_p.shape[1]
+    T = Np // w
+    half = -(-window // w)
+    n_xyz = xyz_p.reshape(B, T, w, 3)
+    b_xyz = band_of(n_xyz, half)                       # query positions
+    b_g = band_of(g_p.reshape(B, T, w, C), half)       # [B,T,bw,C]
+    b_out = band_of(out_p.reshape(B, T, w, C), half)   # [B,T,bw,C]
+    d2 = jnp.sum(
+        jnp.square(n_xyz[..., :, None, :] - b_xyz[..., None, :, :]),
+        axis=-1,
+    )                                                  # [B,T,w,bw]
+    u_n = u_p.reshape(B, T, w, 1, C)
+    took = (d2 <= r2)[..., None] & (u_n == b_out[:, :, None, :, :])
+    grad_u = jnp.sum(
+        jnp.where(took, b_g[:, :, None, :, :], jnp.zeros((), g.dtype)),
+        axis=-2,
+    ).reshape(B, Np, C)[:, :N]
+    # the pooled max depends on xyz only through the (piecewise-constant)
+    # radius mask — zero gradient a.e., matching XLA autodiff of the
+    # static-band formula
+    return jnp.zeros_like(sorted_xyz), grad_u
+
+
+banded_max_pool.defvjp(_bmp_fwd, _bmp_bwd)
+
+
 class BandedSetAbstraction(nn.Module):
     """One banded SA stage: pooled first projection + per-point MLP tail.
 
@@ -100,7 +215,6 @@ class BandedSetAbstraction(nn.Module):
         B, N, _ = sorted_xyz.shape
         w = min(self.tile, N)
         dt = self.dtype
-        r2 = jnp.asarray(cfg.radius * cfg.radius, dt)
 
         c0 = cfg.mlp[0]
         # per-point projections (the linearity split of the reference's
@@ -115,50 +229,22 @@ class BandedSetAbstraction(nn.Module):
             )(features.astype(dt))
         b0 = self.param("bias0", nn.initializers.zeros, (c0,), dt)
 
-        if self.use_pallas and not train and jax.default_backend() == "tpu":
-            # Pallas kernel path: dynamic slab bounds, band read as a VMEM
-            # view (no VJP yet -> inference only; CPU uses the XLA path
-            # below rather than the kernel's slow interpret fallback).
-            # tile=128 keeps the [tile, C, 128] pair block within VMEM at
-            # C=64; measured 2.8 ms vs 5.2 ms XLA for sa3 on v5e.
-            from deepvcp_tpu.ops.pallas import banded_masked_max
-
-            max_u = banded_masked_max(
-                sorted_xyz, u, cfg.radius, half=self.window, tile=128
-            )
-            pooled = max_u.astype(dt) - p + b0
-            h = nn.relu(pooled)
-            return self._mlp_tail(h, train)
-
-        # tiling + banding (no gathers)
-        xyz_p = pad_to_tiles(sorted_xyz.astype(dt), w, 1e7)
-        u_p = pad_to_tiles(u, w, 0.0)
-        p_p = pad_to_tiles(p, w, 0.0)
-        Np = xyz_p.shape[1]
-        T = Np // w
-        half = -(-self.window // w)
-
-        q_xyz = xyz_p.reshape(B, T, w, 3)
-        b_xyz = band_of(q_xyz, half)                   # [B,T,bw,3]
-        q_p = p_p.reshape(B, T, w, c0)
-        b_u = band_of(u_p.reshape(B, T, w, c0), half)  # [B,T,bw,c0]
-
-        d2 = jnp.sum(
-            jnp.square(q_xyz[..., :, None, :] - b_xyz[..., None, :, :]),
-            axis=-1,
-        )                                              # [B,T,w,bw]
-        mask = d2 <= r2
         # Pair values h0[q, n] = u_n - p_q + b0: the "- p_q + b0" term is
         # constant per query, so max_n h0 = (masked max_n u_n) - p_q + b0.
         # The pair tensor collapses to a select+reduce over the band —
-        # nothing per-pair is ever materialized.
-        max_u = jnp.max(
-            jnp.where(
-                mask[..., None], b_u[..., None, :, :], _NEG.astype(dt)
-            ),
-            axis=-2,
-        )                                              # [B,T,w,c0]
-        pooled = (max_u - q_p + b0).reshape(B, Np, c0)[:, :N]
+        # nothing per-pair is ever materialized. banded_max_pool runs the
+        # dynamic-slab Pallas kernel on TPU (forward AND training forward;
+        # its custom VJP is a banded indicator sweep) and the XLA
+        # static-band formula on CPU.
+        max_u = banded_max_pool(
+            sorted_xyz.astype(dt),
+            u,
+            float(cfg.radius),
+            self.window,
+            w,
+            self.use_pallas,
+        )
+        pooled = max_u - p + b0
         # relu(max) == max(relu); also rescues the (impossible in practice)
         # empty-neighborhood rows from -inf
         h = nn.relu(pooled)

@@ -40,7 +40,7 @@ _NEG = -1e30  # plain float: jnp scalars become captured tracers in kernels
 
 
 def _band_max_kernel(
-    lo_ref, n_ref, xyz_ref, ut_ref, q_ref, out_ref, *, radius2, w, Np
+    lo_ref, n_ref, xyz_ref, ut_ref, q_ref, out_ref, *, radius2, w, Np, chunk
 ):
     """Block shapes:
         lo_ref [B, T] int32 (SMEM, scalar-prefetch): 128-aligned slab start;
@@ -56,35 +56,36 @@ def _band_max_kernel(
     q = q_ref[0]                                        # [w, 3]
 
     def chunk_max(off):
-        # start is host-aligned to 128 and Np is a multiple of 128, but
+        # start is host-aligned to 128 and Np is a multiple of chunk, but
         # Mosaic needs the proof for lane-dim dynamic slices
-        off = pl.multiple_of(jnp.minimum(off, Np - 128), 128)
-        bx = xyz_ref[0, pl.ds(off, 128), :]             # [128, 3]
-        bu = ut_ref[0, :, pl.ds(off, 128)]              # [C, 128]
+        off = pl.multiple_of(jnp.minimum(off, Np - chunk), 128)
+        bx = xyz_ref[0, pl.ds(off, chunk), :]           # [chunk, 3]
+        bu = ut_ref[0, :, pl.ds(off, chunk)]            # [C, chunk]
         d2 = (
             jnp.square(q[:, 0:1] - bx[:, 0][None, :])
             + jnp.square(q[:, 1:2] - bx[:, 1][None, :])
             + jnp.square(q[:, 2:3] - bx[:, 2][None, :])
-        )                                               # [w, 128]
+        )                                               # [w, chunk]
         # additive f32 mask: Mosaic only supports minor-dim broadcast
         # insertion for 32-bit types (bool masks fail to lower)
         pen = jnp.where(d2 <= radius2, 0.0, _NEG).astype(jnp.float32)
-        cand = bu[None, :, :] + pen[:, None, :]         # [w, C, 128]
+        cand = bu[None, :, :] + pen[:, None, :]         # [w, C, chunk]
         return jnp.max(cand, axis=-1)
 
     def body(j, acc):
         # single accumulator chain: a 2-wide unrolled variant measured
         # SLOWER (sa1 0.56 vs 0.45 ms, sa2 1.18 vs 1.09) and its second
-        # live [w, C, 128] block overflows VMEM at C=64 — the loop is not
-        # issue-rate-bound.
-        return jnp.maximum(acc, chunk_max(start + j * 128))
+        # live [w, C, chunk] block overflows VMEM at C=64 — the loop is
+        # not issue-rate-bound.
+        return jnp.maximum(acc, chunk_max(start + j * chunk))
 
     acc0 = jnp.full((w, C), _NEG, jnp.float32)
-    out_ref[0] = jax.lax.fori_loop(0, n_ref[b, i], body, acc0)
+    n_chunks = (n_ref[b, i] * 128 + chunk - 1) // chunk
+    out_ref[0] = jax.lax.fori_loop(0, n_chunks, body, acc0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("radius", "half", "tile", "interpret")
+    jax.jit, static_argnames=("radius", "half", "tile", "chunk", "interpret")
 )
 def banded_masked_max(
     sorted_xyz: jax.Array,
@@ -92,6 +93,7 @@ def banded_masked_max(
     radius: float,
     half: int = 0,
     tile: int = 128,
+    chunk: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
     """pooled[b, q, c] = max over n with |x_n - x_q| <= radius of u[b, n, c].
@@ -116,8 +118,8 @@ def banded_masked_max(
         )
         u = jnp.pad(u, [(0, 0), (0, pad), (0, 0)])
     Np = N + pad
-    if Np < 128:  # kernel reads 128-point chunks
-        extra = 128 - Np
+    if Np < chunk:  # kernel reads `chunk`-point slabs
+        extra = chunk - Np
         sorted_xyz = jnp.pad(
             sorted_xyz, [(0, 0), (0, extra), (0, 0)], constant_values=1e7
         )
@@ -137,7 +139,7 @@ def banded_masked_max(
     n128 = jnp.clip((hi - lo + 255) // 128, 1, Np // 128 - lo // 128)
 
     kernel = functools.partial(
-        _band_max_kernel, radius2=float(radius) ** 2, w=w, Np=Np
+        _band_max_kernel, radius2=float(radius) ** 2, w=w, Np=Np, chunk=chunk
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

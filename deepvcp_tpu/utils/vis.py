@@ -109,6 +109,36 @@ def draw(point_clouds: Sequence[np.ndarray], out_path: str = "vis.pcd") -> None:
         write_pcd(out_path, merged, merged_colors)
 
 
+def plot_voxel_candidates(
+    keypoints: np.ndarray,
+    candidates: np.ndarray,
+    out_path: str = "voxelization.png",
+    max_points: int = 8,
+) -> str:
+    """3-D scatter of candidate voxel grids around keypoints (capability
+    parity with the reference's visualize_voxelization, voxelize.py:86-114,
+    which renders each point's grid with matplotlib).
+
+    keypoints [K, 3]; candidates [K, C, 3] (ops.voxelize output).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    kp = np.asarray(keypoints)[:max_points]
+    cand = np.asarray(candidates)[:max_points]
+    fig = plt.figure(figsize=(6, 6))
+    ax = fig.add_subplot(projection="3d")
+    for i in range(kp.shape[0]):
+        ax.scatter(*cand[i].T, s=2, alpha=0.3)
+        ax.scatter(*kp[i], s=40, marker="x", color="black")
+    ax.set_title("candidate voxel grids")
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
 def plot_metrics(
     metrics_path: str,
     out_path: str = "loss.png",

@@ -68,3 +68,45 @@ class TestBandMaxKernel:
         )
         # with a tiny radius every point's pool >= its own u
         assert (got >= u - 1e-5).all()
+
+
+class TestBandedMaxPoolVJP:
+    def test_custom_bwd_matches_autodiff(self):
+        """The indicator backward must equal XLA autodiff of the static-
+        band formula (random floats: no exact ties)."""
+        from deepvcp_tpu.models.fused_sa import banded_max_pool, xla_banded_max
+
+        rng = np.random.default_rng(3)
+        B, N, C = 2, 300, 8
+        radius, window, tile = 1.0, 64, 64
+        xyz = np.sort(rng.uniform(-4, 4, (B, N, 1)).astype(np.float32), axis=1)
+        xyz = np.concatenate(
+            [xyz, rng.uniform(-4, 4, (B, N, 2)).astype(np.float32)], -1
+        )
+        u = rng.standard_normal((B, N, C)).astype(np.float32)
+        xyz, u = jnp.asarray(xyz), jnp.asarray(u)
+
+        def loss_custom(uu):
+            out = banded_max_pool(xyz, uu, radius, window, tile, False)
+            return jnp.sum(jnp.sin(out) * jnp.cos(out * 0.5))
+
+        def loss_ref(uu):
+            out = xla_banded_max(xyz, uu, radius, window, tile)
+            return jnp.sum(jnp.sin(out) * jnp.cos(out * 0.5))
+
+        g_custom = np.asarray(jax.grad(loss_custom)(u))
+        g_ref = np.asarray(jax.grad(loss_ref)(u))
+        np.testing.assert_allclose(g_custom, g_ref, atol=1e-5)
+
+    def test_forward_value_unchanged(self):
+        from deepvcp_tpu.models.fused_sa import banded_max_pool, xla_banded_max
+
+        rng = np.random.default_rng(4)
+        xyz = np.sort(rng.uniform(-3, 3, (1, 200, 1)).astype(np.float32), axis=1)
+        xyz = np.concatenate(
+            [xyz, rng.uniform(-3, 3, (1, 200, 2)).astype(np.float32)], -1
+        )
+        u = rng.standard_normal((1, 200, 4)).astype(np.float32)
+        a = banded_max_pool(jnp.asarray(xyz), jnp.asarray(u), 0.8, 64, 64, False)
+        b = xla_banded_max(jnp.asarray(xyz), jnp.asarray(u), 0.8, 64, 64)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

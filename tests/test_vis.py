@@ -67,3 +67,16 @@ class TestPlotMetrics:
                 )
         out = plot_metrics(path, str(tmp_path / "loss.png"), smooth=5)
         assert os.path.exists(out)
+
+
+class TestVoxelPlot:
+    def test_plot_voxel_candidates(self, tmp_path):
+        from deepvcp_tpu.utils.vis import plot_voxel_candidates
+
+        rng = np.random.default_rng(0)
+        kp = rng.uniform(-2, 2, (4, 3)).astype(np.float32)
+        cand = kp[:, None, :] + rng.uniform(-1, 1, (4, 27, 3)).astype(
+            np.float32
+        )
+        out = plot_voxel_candidates(kp, cand, str(tmp_path / "vox.png"))
+        assert os.path.exists(out) and os.path.getsize(out) > 0
