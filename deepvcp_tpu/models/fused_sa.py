@@ -110,6 +110,22 @@ def xla_banded_max(
     return max_u.reshape(B, Np, C)[:, :N]
 
 
+def _banded_max_dispatch(sorted_xyz, u, radius, window, tile, use_kernel):
+    """Pick the Pallas kernel (TPU) or the XLA static band."""
+    if use_kernel and jax.default_backend() == "tpu":
+        from deepvcp_tpu.ops.pallas import banded_masked_max
+
+        return banded_masked_max(
+            sorted_xyz.astype(jnp.float32),
+            u.astype(jnp.float32),
+            float(radius),
+            half=window,
+            tile=128,
+            chunk=512,
+        ).astype(u.dtype)
+    return xla_banded_max(sorted_xyz, u, radius, window, tile)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def banded_max_pool(
     sorted_xyz: jax.Array,
@@ -122,31 +138,23 @@ def banded_max_pool(
     """Banded masked max pooling with a TPU Pallas forward and a banded
     indicator backward.
 
-    Forward: the dynamic-slab Pallas kernel on TPU when use_kernel (exact
-    in-radius coverage, a superset of the static band whenever the band
+    Forward (primal AND vjp-fwd — jax runs the primal body when no
+    differentiation is requested, so the dispatch must live here too):
+    the dynamic-slab Pallas kernel on TPU when use_kernel (exact in-radius
+    coverage, a superset of the static band whenever the band
     under-covers); XLA static band otherwise. Backward: the band relation
     is tile-symmetric (q is in n's tile-band iff n is in q's), so the
     max's transpose is the same banded sweep with an argmax indicator:
     grad_u[n, c] = sum over band queries q of g[q, c] * [in-radius and
     u[n, c] == out[q, c]]. Exact ties receive the full cotangent each
     (measure-zero for float features)."""
-    return xla_banded_max(sorted_xyz, u, radius, window, tile)
+    return _banded_max_dispatch(sorted_xyz, u, radius, window, tile,
+                                use_kernel)
 
 
 def _bmp_fwd(sorted_xyz, u, radius, window, tile, use_kernel):
-    if use_kernel and jax.default_backend() == "tpu":
-        from deepvcp_tpu.ops.pallas import banded_masked_max
-
-        out = banded_masked_max(
-            sorted_xyz.astype(jnp.float32),
-            u.astype(jnp.float32),
-            float(radius),
-            half=window,
-            tile=128,
-            chunk=512,
-        ).astype(u.dtype)
-    else:
-        out = xla_banded_max(sorted_xyz, u, radius, window, tile)
+    out = _banded_max_dispatch(sorted_xyz, u, radius, window, tile,
+                               use_kernel)
     return out, (sorted_xyz, u, out)
 
 
