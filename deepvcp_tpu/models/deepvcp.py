@@ -131,8 +131,13 @@ class DeepVCP(nn.Module):
             )
         else:
             _, tnb_idx = knn(tgt_xyz, cand_flat, ns, chunk=cfg.query_chunk)
-        tnb_xyz = index_points(tgt_xyz, tnb_idx)           # [B,KC,ns,3]
-        tnb_feat = index_points(tgt_feat, tnb_idx)         # [B,KC,ns,F]
+        # one fused [B, N, 3+F] gather instead of separate xyz/feature
+        # gathers: measured 1.9 ms vs 3.0 on v5e at the full operating
+        # point (the gather is per-row-overhead-bound, not byte-bound)
+        tnb = index_points(
+            jnp.concatenate([tgt_xyz, tgt_feat], axis=-1), tnb_idx
+        )                                                  # [B,KC,ns,3+F]
+        tnb_xyz, tnb_feat = tnb[..., :3], tnb[..., 3:]
         local_t = tnb_xyz - cand_flat[:, :, None, :]
         # recompute distances from the gathered coordinates: identical
         # values, and the gradient path through the distance weights stays
