@@ -153,3 +153,32 @@ class TestLossRobustness:
         # ...and recovers the pose to a few degrees / decimeters
         assert err2 < 3.0
         assert float(translation_error(res.t, t)[0]) < 0.3
+
+
+class TestNeighborMethods:
+    @pytest.mark.parametrize("method", ["banded", "windowed", "dense"])
+    def test_forward_all_methods(self, method):
+        """Every neighbor engine (banded gather-free, sorted-window,
+        dense exact-oracle) runs the full forward with finite outputs and
+        the right shapes — the engines differ in neighbor selection by
+        design, so parity is architectural, not numerical."""
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            DeepVCPConfig.tiny(num_points=96, use_normal=False),
+            neighbor_method=method,
+        )
+        model = DeepVCP(cfg=cfg)
+        rng = np.random.default_rng(1)
+        src = jnp.asarray(rng.uniform(-2, 2, (1, 96, 3)).astype(np.float32))
+        tgt = jnp.asarray(rng.uniform(-2, 2, (1, 96, 3)).astype(np.float32))
+        R = jnp.eye(3, dtype=jnp.float32)[None]
+        t = jnp.zeros((1, 3), jnp.float32)
+        variables = model.init(jax.random.key(0), src, tgt, R, t, train=False)
+        kp, vcp, aux = jax.jit(
+            lambda v, s, tg: model.apply(v, s, tg, R, t, train=False)
+        )(variables, src, tgt)
+        assert kp.shape == (1, cfg.num_keypoints, 3)
+        assert vcp.shape == (1, cfg.num_keypoints, 3)
+        assert np.isfinite(np.asarray(kp)).all()
+        assert np.isfinite(np.asarray(vcp)).all()
