@@ -11,7 +11,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# runnable as `python examples/train_synthetic.py` without installing
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
