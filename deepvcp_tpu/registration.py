@@ -81,3 +81,27 @@ class Registrar:
         if t_init is None:
             t_init = jnp.zeros((B, 3), dtype=src.dtype)
         return self._fn(self.variables, src, tgt, R_init, t_init)
+
+    def stream(self, pairs, depth: int = 4):
+        """Pipelined registration over an iterable of (src, tgt[, R_init,
+        t_init]) tuples: keeps up to `depth` jitted calls in flight so
+        dispatch/host latency overlaps device compute — the steady-state
+        serving mode (on the axon tunnel, per-call sync costs a ~23 ms
+        round trip that this hides; bench.py measures this mode). Yields
+        RegistrationOutput in input order.
+        """
+        from collections import deque
+
+        inflight: deque = deque()
+
+        def drain():
+            out = inflight.popleft()
+            jax.block_until_ready(out.R)
+            return out
+
+        for pair in pairs:
+            inflight.append(self(*pair))
+            if len(inflight) >= depth:
+                yield drain()
+        while inflight:
+            yield drain()

@@ -181,3 +181,34 @@ class TestRegistrar:
         # proper rotations
         dets = np.linalg.det(np.asarray(out.R))
         np.testing.assert_allclose(dets, 1.0, atol=1e-4)
+
+    def test_stream_matches_per_call(self):
+        """stream() must yield the same outputs, in order, as per-call
+        registration (it only changes dispatch overlap)."""
+        from deepvcp_tpu.registration import Registrar
+        from deepvcp_tpu.models import DeepVCP
+        import jax
+
+        cfg = DeepVCPConfig.tiny(num_points=64, use_normal=False)
+        model = DeepVCP(cfg=cfg)
+        ds = SyntheticDataset(num_clouds=5, num_points=64, extent=2.0)
+        batches = [
+            (jnp.asarray(s), jnp.asarray(tg))
+            for (s, tg, _, _) in batch_iterator(ds, 1, epoch=0, seed=0)
+        ][:5]
+        s0, t0 = batches[0]
+        variables = model.init(
+            jax.random.key(0), s0, t0,
+            jnp.eye(3, dtype=jnp.float32)[None], jnp.zeros((1, 3)),
+        )
+        reg = Registrar(cfg, variables)
+        streamed = list(reg.stream(iter(batches), depth=3))
+        assert len(streamed) == 5
+        for (s, tg), out in zip(batches, streamed):
+            ref = reg(s, tg)
+            np.testing.assert_allclose(
+                np.asarray(out.R), np.asarray(ref.R), atol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(out.t), np.asarray(ref.t), atol=1e-6
+            )
