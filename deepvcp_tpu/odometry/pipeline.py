@@ -11,7 +11,6 @@ from __future__ import annotations
 import os
 from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
