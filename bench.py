@@ -115,7 +115,8 @@ def main() -> None:
         times.append(time.time() - t0)
     print(
         f"per-call latency best: {min(times)*1e3:.1f} ms "
-        f"({args.batch / min(times):.2f} pairs/s)",
+        f"({args.batch / min(times):.2f} pairs/s); per-call times: "
+        f"{[f'{x:.3f}' for x in times]}",
         file=sys.stderr,
     )
 
@@ -134,7 +135,6 @@ def main() -> None:
         np.asarray(out.R)
         dt = (time.time() - t0) / stream
         best = dt if best is None else min(best, dt)
-    print(f"per-iter times: {[f'{x:.3f}' for x in times]}", file=sys.stderr)
     pairs_per_sec = args.batch / best
     print(
         json.dumps(

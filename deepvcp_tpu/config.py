@@ -93,11 +93,12 @@ class DeepVCPConfig:
     # points; larger tiles -> fewer rolls -> faster compile, slightly wider
     # bands).
     band_tile: int = 256
-    # Use the Pallas banded-masked-max kernel for SA pooling at inference
-    # on TPU (ops/pallas/band_max_kernel.py): exact dynamic slab bounds
-    # instead of the XLA path's static worst-case band — measured 1.6x on
-    # the FE stack (v5e). Training (and CPU) always use the XLA path (the
-    # kernel has no VJP yet).
+    # Use the Pallas banded-masked-max kernel for SA pooling on TPU
+    # (ops/pallas/band_max_kernel.py). Inference: exact dynamic slab
+    # bounds (a cap-free superset of the static band). Training: the
+    # kernel clipped to the static band (bit-identical to the XLA
+    # formula), with a banded-indicator custom VJP (models/fused_sa.py
+    # banded_max_pool). CPU always uses the XLA path.
     use_pallas_band_max: bool = True
 
     @property

@@ -110,11 +110,22 @@ def xla_banded_max(
     return max_u.reshape(B, Np, C)[:, :N]
 
 
-def _banded_max_dispatch(sorted_xyz, u, radius, window, tile, use_kernel):
-    """Pick the Pallas kernel (TPU) or the XLA static band."""
+def _banded_max_dispatch(
+    sorted_xyz, u, radius, window, tile, use_kernel, static_band=False
+):
+    """Pick the Pallas kernel (TPU) or the XLA static band.
+
+    static_band=True restricts the kernel to exactly the XLA band's
+    candidate range (same function, kernel speed) — required when the
+    custom-VJP backward will sweep that static band: the backward only
+    credits argmax points it can see, so the forward must not select
+    maxima from outside the band (it would silently drop those queries'
+    gradients)."""
     if use_kernel and jax.default_backend() == "tpu":
         from deepvcp_tpu.ops.pallas import banded_masked_max
 
+        w = min(tile, sorted_xyz.shape[1])
+        clip = (w, -(-window // w)) if static_band else None
         return banded_masked_max(
             sorted_xyz.astype(jnp.float32),
             u.astype(jnp.float32),
@@ -122,6 +133,7 @@ def _banded_max_dispatch(sorted_xyz, u, radius, window, tile, use_kernel):
             half=window,
             tile=128,
             chunk=512,
+            clip_band=clip,
         ).astype(u.dtype)
     return xla_banded_max(sorted_xyz, u, radius, window, tile)
 
@@ -153,8 +165,12 @@ def banded_max_pool(
 
 
 def _bmp_fwd(sorted_xyz, u, radius, window, tile, use_kernel):
+    # static_band: the backward sweeps the static band, so the training
+    # forward must select maxima only from within it (bit-identical to
+    # xla_banded_max by construction). The inference primal keeps the
+    # unclipped exact-slab kernel.
     out = _banded_max_dispatch(sorted_xyz, u, radius, window, tile,
-                               use_kernel)
+                               use_kernel, static_band=True)
     return out, (sorted_xyz, u, out)
 
 
@@ -208,7 +224,8 @@ class BandedSetAbstraction(nn.Module):
     use_batchnorm: bool = True
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
-    use_pallas: bool = False  # Pallas band-max kernel (inference only)
+    use_pallas: bool = False  # Pallas band-max kernel on TPU (training
+    # uses it clipped to the static band; see banded_max_pool)
 
     @nn.compact
     def __call__(

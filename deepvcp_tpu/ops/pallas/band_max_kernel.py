@@ -30,6 +30,7 @@ Grid: (B, T) — one program per query tile of `tile` points.
 from __future__ import annotations
 
 import functools
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,11 +41,15 @@ _NEG = -1e30  # plain float: jnp scalars become captured tracers in kernels
 
 
 def _band_max_kernel(
-    lo_ref, n_ref, xyz_ref, ut_ref, q_ref, out_ref, *, radius2, w, Np, chunk
+    lo_ref, n_ref, clip_ref, xyz_ref, ut_ref, q_ref, out_ref,
+    *, radius2, w, Np, chunk
 ):
     """Block shapes:
         lo_ref [B, T] int32 (SMEM, scalar-prefetch): 128-aligned slab start;
         n_ref [B, T] int32: number of 128-point chunks in the slab;
+        clip_ref [B, 2*T] int32: per-tile [position-clip lo | hi) pairs,
+        interleaved as (lo at 2i, hi at 2i+1) — candidates outside the
+        clip range are masked out (used for static-band parity);
         xyz_ref [1, Np, 3] (full sorted cloud), ut_ref [1, C, Np]
         (features, channel-major), q_ref [1, w, 3] (this tile's queries),
         out_ref [1, w, C].
@@ -53,6 +58,8 @@ def _band_max_kernel(
     i = pl.program_id(1)
     C = ut_ref.shape[1]
     start = lo_ref[b, i]
+    clip_lo = clip_ref[b, 2 * i]
+    clip_hi = clip_ref[b, 2 * i + 1]
     q = q_ref[0]                                        # [w, 3]
 
     def chunk_max(off):
@@ -66,9 +73,13 @@ def _band_max_kernel(
             + jnp.square(q[:, 1:2] - bx[:, 1][None, :])
             + jnp.square(q[:, 2:3] - bx[:, 2][None, :])
         )                                               # [w, chunk]
+        pos = off + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        in_clip = (pos >= clip_lo) & (pos < clip_hi)    # [1, chunk]
         # additive f32 mask: Mosaic only supports minor-dim broadcast
         # insertion for 32-bit types (bool masks fail to lower)
-        pen = jnp.where(d2 <= radius2, 0.0, _NEG).astype(jnp.float32)
+        pen = jnp.where(
+            (d2 <= radius2) & in_clip, 0.0, _NEG
+        ).astype(jnp.float32)
         cand = bu[None, :, :] + pen[:, None, :]         # [w, C, chunk]
         return jnp.max(cand, axis=-1)
 
@@ -85,7 +96,7 @@ def _band_max_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("radius", "half", "tile", "chunk", "interpret")
+    jax.jit, static_argnames=("radius", "half", "tile", "chunk", "interpret", "clip_band")
 )
 def banded_masked_max(
     sorted_xyz: jax.Array,
@@ -95,6 +106,7 @@ def banded_masked_max(
     tile: int = 128,
     chunk: int = 128,
     interpret: bool = False,
+    clip_band: Optional[Tuple[int, int]] = None,
 ) -> jax.Array:
     """pooled[b, q, c] = max over n with |x_n - x_q| <= radius of u[b, n, c].
 
@@ -102,6 +114,16 @@ def banded_masked_max(
     [B, N, C]. `half` is accepted for API compatibility with the static-band
     XLA path but ignored: slab bounds are computed exactly per query tile
     (see module docstring). Returns [B, N, C] float32.
+
+    clip_band: optional (band_tile, half_tiles) — additionally restrict
+    each query's candidates to the STATIC band of the XLA formula
+    (fused_sa.xla_banded_max with that tile geometry): positions within
+    [band_tile*floor(q/band_tile) - half_tiles*band_tile,
+     band_tile*(floor(q/band_tile)+1) + half_tiles*band_tile).
+    With it, the result is exactly the XLA static-band function (same
+    radius mask over the same candidate range) at kernel speed — used by
+    the training forward so the custom-VJP backward (which sweeps that
+    static band) sees every forward argmax.
     """
     from deepvcp_tpu.ops.neighbors import searchsorted_batched
 
@@ -134,6 +156,26 @@ def banded_masked_max(
     last = key[:, w - 1 :: w]                              # [B, T] tile maxs
     lo = searchsorted_batched(key, first - radius)         # [B, T]
     hi = searchsorted_batched(key, last + radius)          # [B, T]
+    if clip_band is not None:
+        band_tile, half_tiles = clip_band
+        # intersect the slab with the static band of each query tile
+        # (wrap-around band candidates are out-of-radius by the extent>2r
+        # assumption, so clamping to the array range matches XLA's mask);
+        # the exact [clip_lo, clip_hi) range is also enforced inside the
+        # kernel by a positional mask — the loop bounds alone are 128-
+        # aligned and slack-padded, so they can overshoot by <256 points
+        xt = (jnp.arange(T, dtype=jnp.int32) * w) // band_tile
+        clip_lo = jnp.maximum((xt - half_tiles) * band_tile, 0)
+        clip_hi = jnp.minimum((xt + 1 + half_tiles) * band_tile, Np)
+        lo = jnp.maximum(lo, clip_lo[None, :])
+        hi = jnp.minimum(hi, clip_hi[None, :])
+        hi = jnp.maximum(hi, lo)
+        clip_lo = jnp.broadcast_to(clip_lo, (B, T))
+        clip_hi = jnp.broadcast_to(clip_hi, (B, T))
+    else:
+        clip_lo = jnp.zeros((B, T), jnp.int32)
+        clip_hi = jnp.full((B, T), Np, jnp.int32)
+    clip = jnp.stack([clip_lo, clip_hi], axis=-1).reshape(B, 2 * T)
     lo = (lo // 128) * 128
     # +1 chunk of slack against boundary-equal keys; clamp into range
     n128 = jnp.clip((hi - lo + 255) // 128, 1, Np // 128 - lo // 128)
@@ -142,7 +184,7 @@ def banded_masked_max(
         _band_max_kernel, radius2=float(radius) ** 2, w=w, Np=Np, chunk=chunk
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, T),
         in_specs=[
             pl.BlockSpec((1, Np, 3), lambda b, i, *_: (b, 0, 0)),
@@ -159,6 +201,7 @@ def banded_masked_max(
     )(
         lo.astype(jnp.int32),
         n128.astype(jnp.int32),
+        clip.astype(jnp.int32),
         sorted_xyz.astype(jnp.float32),
         jnp.swapaxes(u.astype(jnp.float32), -1, -2),
         sorted_xyz.astype(jnp.float32),

@@ -110,3 +110,48 @@ class TestBandedMaxPoolVJP:
         a = banded_max_pool(jnp.asarray(xyz), jnp.asarray(u), 0.8, 64, 64, False)
         b = xla_banded_max(jnp.asarray(xyz), jnp.asarray(u), 0.8, 64, 64)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestClipBand:
+    def test_clipped_kernel_matches_xla_band_under_undercoverage(self):
+        """Regression (review finding): with a dense cluster the in-radius
+        slab EXCEEDS the static band; the training forward must clip the
+        kernel to the band so the result equals xla_banded_max exactly —
+        otherwise the indicator backward silently drops the gradients of
+        queries whose max came from outside the band."""
+        from deepvcp_tpu.models.fused_sa import xla_banded_max
+
+        rng = np.random.default_rng(7)
+        B, N, C = 1, 512, 8
+        # dense along x (slab ~ half the cloud) but extent_x > 2r so the
+        # XLA band's torus wrap-around stays out of radius (the documented
+        # band_of assumption); band is only +-1 tile of 64
+        xyz = np.sort(
+            rng.uniform(-1.0, 1.0, (B, N, 1)).astype(np.float32), axis=1
+        )
+        xyz = np.concatenate(
+            [xyz, rng.uniform(-0.05, 0.05, (B, N, 2)).astype(np.float32)],
+            -1,
+        )
+        u = rng.standard_normal((B, N, C)).astype(np.float32)
+        radius, window, tile = 0.5, 64, 64  # band = +-1 tile of 64
+        want = np.asarray(
+            xla_banded_max(jnp.asarray(xyz), jnp.asarray(u), radius,
+                           window, tile)
+        )
+        got = np.asarray(
+            banded_masked_max(
+                jnp.asarray(xyz), jnp.asarray(u), radius, half=window,
+                tile=64, chunk=128, interpret=True,
+                clip_band=(tile, -(-window // tile)),
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+        # sanity: the unclipped kernel DOES differ here (slab >> band)
+        unclipped = np.asarray(
+            banded_masked_max(
+                jnp.asarray(xyz), jnp.asarray(u), radius, half=window,
+                tile=64, chunk=128, interpret=True,
+            )
+        )
+        assert np.abs(unclipped - want).max() > 0
