@@ -89,16 +89,21 @@ class DeepVCPConfig:
     # op's HBM cost; the model recomputes neighbor distances from gathered
     # coordinates in f32). None = full f32 tile.
     knn_select_dtype: str = "bfloat16"
+    # Above this spatial_extent the model ignores knn_select_dtype and
+    # selects in f32: even with centered coordinates and f32 accumulation
+    # (ops.knn.approx_knn), bf16 input rounding costs ~2^-9*(extent/2)^2
+    # of d^2 ranking error — ~0.05 m^2 at the default extent 20, but
+    # several m^2 at raw KITTI scale (~100 m).
+    knn_select_f32_extent: float = 50.0
     # Tile width for the banded SA stage (band = tiles of this many sorted
     # points; larger tiles -> fewer rolls -> faster compile, slightly wider
     # bands).
     band_tile: int = 256
     # Use the Pallas banded-masked-max kernel for SA pooling on TPU
-    # (ops/pallas/band_max_kernel.py). Inference: exact dynamic slab
-    # bounds (a cap-free superset of the static band). Training: the
-    # kernel clipped to the static band (bit-identical to the XLA
-    # formula), with a banded-indicator custom VJP (models/fused_sa.py
-    # banded_max_pool). CPU always uses the XLA path.
+    # (ops/pallas/band_max_kernel.py): exact dynamic slab bounds (a
+    # cap-free superset of the static band) in both the forward and the
+    # custom-VJP backward (models/fused_sa.py banded_max_pool). CPU
+    # always uses the XLA static-band path.
     use_pallas_band_max: bool = True
 
     @property
@@ -114,7 +119,22 @@ class DeepVCPConfig:
         return self.grid_size ** 3
 
     def resolve(self) -> "DeepVCPConfig":
-        """Replace npoint=-1 sentinels with num_points."""
+        """Replace npoint=-1 sentinels with num_points; validate the banded
+        engine's geometry assumption."""
+        if self.neighbor_method == "banded":
+            rmax = max(l.radius for l in self.sa_layers)
+            if 2.0 * rmax >= self.spatial_extent:
+                # The XLA static-band path builds its band with a torus
+                # roll (models/fused_sa.py band_of); wrap-around pairs are
+                # killed by the 3-D distance mask ONLY when the cloud
+                # extent exceeds 2r. Fail loudly instead of silently
+                # mis-pooling / mis-crediting gradients (review finding).
+                raise ValueError(
+                    f"banded neighbor engine requires spatial_extent > "
+                    f"2*max(SA radius) = {2.0 * rmax} (got "
+                    f"{self.spatial_extent}); raise spatial_extent or use "
+                    f"neighbor_method='windowed'/'dense'"
+                )
         layers = tuple(
             dataclasses.replace(l, npoint=self.num_points) if l.npoint == -1 else l
             for l in self.sa_layers

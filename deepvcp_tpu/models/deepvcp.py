@@ -125,9 +125,17 @@ class DeepVCP(nn.Module):
         # operating point on v5e, vs 129 ms exact top_k). "dense" keeps the
         # exact-KNN oracle semantics.
         if cfg.neighbor_method in ("windowed", "banded"):
+            # reduced-precision selection is gated on cloud scale (see
+            # config.knn_select_f32_extent; review finding on bf16
+            # cancellation at KITTI-scale coordinates)
+            sel = (
+                cfg.knn_select_dtype
+                if cfg.spatial_extent <= cfg.knn_select_f32_extent
+                else None
+            )
             _, tnb_idx = approx_knn(
                 tgt_xyz, cand_flat, ns, chunk=cfg.knn_query_chunk,
-                select_dtype=cfg.knn_select_dtype,
+                select_dtype=sel,
             )
         else:
             _, tnb_idx = knn(tgt_xyz, cand_flat, ns, chunk=cfg.query_chunk)

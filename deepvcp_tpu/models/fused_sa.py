@@ -110,22 +110,16 @@ def xla_banded_max(
     return max_u.reshape(B, Np, C)[:, :N]
 
 
-def _banded_max_dispatch(
-    sorted_xyz, u, radius, window, tile, use_kernel, static_band=False
-):
-    """Pick the Pallas kernel (TPU) or the XLA static band.
+def _use_band_kernel(use_kernel: bool) -> bool:
+    return use_kernel and jax.default_backend() == "tpu"
 
-    static_band=True restricts the kernel to exactly the XLA band's
-    candidate range (same function, kernel speed) — required when the
-    custom-VJP backward will sweep that static band: the backward only
-    credits argmax points it can see, so the forward must not select
-    maxima from outside the band (it would silently drop those queries'
-    gradients)."""
-    if use_kernel and jax.default_backend() == "tpu":
+
+def _banded_max_dispatch(sorted_xyz, u, radius, window, tile, use_kernel):
+    """Pick the Pallas kernel (TPU; exact in-radius slab, a cap-free
+    superset of the static band) or the XLA static band (CPU)."""
+    if _use_band_kernel(use_kernel):
         from deepvcp_tpu.ops.pallas import banded_masked_max
 
-        w = min(tile, sorted_xyz.shape[1])
-        clip = (w, -(-window // w)) if static_band else None
         return banded_masked_max(
             sorted_xyz.astype(jnp.float32),
             u.astype(jnp.float32),
@@ -133,7 +127,6 @@ def _banded_max_dispatch(
             half=window,
             tile=128,
             chunk=512,
-            clip_band=clip,
         ).astype(u.dtype)
     return xla_banded_max(sorted_xyz, u, radius, window, tile)
 
@@ -147,35 +140,47 @@ def banded_max_pool(
     tile: int,
     use_kernel: bool,
 ) -> jax.Array:
-    """Banded masked max pooling with a TPU Pallas forward and a banded
-    indicator backward.
+    """Banded masked max pooling with a TPU Pallas forward and backward.
 
     Forward (primal AND vjp-fwd — jax runs the primal body when no
     differentiation is requested, so the dispatch must live here too):
     the dynamic-slab Pallas kernel on TPU when use_kernel (exact in-radius
     coverage, a superset of the static band whenever the band
-    under-covers); XLA static band otherwise. Backward: the band relation
-    is tile-symmetric (q is in n's tile-band iff n is in q's), so the
-    max's transpose is the same banded sweep with an argmax indicator:
-    grad_u[n, c] = sum over band queries q of g[q, c] * [in-radius and
+    under-covers); XLA static band otherwise. Backward: the in-radius
+    relation is symmetric, so the max's transpose is the same sweep with
+    an argmax indicator:
+    grad_u[n, c] = sum over visible queries q of g[q, c] * [in-radius and
     u[n, c] == out[q, c]]. Exact ties receive the full cotangent each
-    (measure-zero for float features)."""
+    (measure-zero for float features). On TPU the backward is the Pallas
+    transpose kernel over the exact slab (ops/pallas/band_max_kernel.py
+    banded_masked_max_grad), matching the exact-slab forward; on CPU both
+    directions use the XLA static band — each path is self-consistent."""
     return _banded_max_dispatch(sorted_xyz, u, radius, window, tile,
                                 use_kernel)
 
 
 def _bmp_fwd(sorted_xyz, u, radius, window, tile, use_kernel):
-    # static_band: the backward sweeps the static band, so the training
-    # forward must select maxima only from within it (bit-identical to
-    # xla_banded_max by construction). The inference primal keeps the
-    # unclipped exact-slab kernel.
     out = _banded_max_dispatch(sorted_xyz, u, radius, window, tile,
-                               use_kernel, static_band=True)
+                               use_kernel)
     return out, (sorted_xyz, u, out)
 
 
 def _bmp_bwd(radius, window, tile, use_kernel, res, g):
     sorted_xyz, u, out = res
+    if _use_band_kernel(use_kernel):
+        from deepvcp_tpu.ops.pallas import banded_masked_max_grad
+
+        grad_u = banded_masked_max_grad(
+            sorted_xyz.astype(jnp.float32),
+            u.astype(jnp.float32),
+            out.astype(jnp.float32),
+            g.astype(jnp.float32),
+            float(radius),
+            tile=128,
+        ).astype(u.dtype)
+        # xyz enters only through the (piecewise-constant) radius mask —
+        # zero gradient a.e.
+        return jnp.zeros_like(sorted_xyz), grad_u
     B, N, _ = sorted_xyz.shape
     C = u.shape[-1]
     w = min(tile, N)
@@ -224,8 +229,8 @@ class BandedSetAbstraction(nn.Module):
     use_batchnorm: bool = True
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
-    use_pallas: bool = False  # Pallas band-max kernel on TPU (training
-    # uses it clipped to the static band; see banded_max_pool)
+    use_pallas: bool = False  # Pallas band-max kernel on TPU, forward
+    # and backward (see banded_max_pool)
 
     @nn.compact
     def __call__(
@@ -258,9 +263,8 @@ class BandedSetAbstraction(nn.Module):
         # constant per query, so max_n h0 = (masked max_n u_n) - p_q + b0.
         # The pair tensor collapses to a select+reduce over the band —
         # nothing per-pair is ever materialized. banded_max_pool runs the
-        # dynamic-slab Pallas kernel on TPU (forward AND training forward;
-        # its custom VJP is a banded indicator sweep) and the XLA
-        # static-band formula on CPU.
+        # dynamic-slab Pallas kernel on TPU (forward and backward, both
+        # exact-slab) and the XLA static-band formula on CPU.
         max_u = banded_max_pool(
             sorted_xyz.astype(dt),
             u,

@@ -69,7 +69,8 @@ def query_ball_point(
     xyz: jax.Array,
     new_xyz: jax.Array,
     chunk: Optional[int] = None,
-) -> jax.Array:
+    return_count: bool = False,
+):
     """Indices of up to `nsample` points of `xyz` within `radius` of each query.
 
     Matches the reference semantics (pointnet2_utils.py:87-107): neighbors are
@@ -80,8 +81,16 @@ def query_ball_point(
         xyz: [B, N, 3] support points.
         new_xyz: [B, S, 3] query points.
         chunk: optional query-block size for memory tiling.
+        return_count: also return the per-query in-radius hit count, so
+            callers can mask zero-hit rows — the gathered "neighbors" of an
+            empty query are an arbitrary clamped index (the reference
+            crashes instead, pointnet2_utils.py:100-106); unmasked they
+            pollute pooled features with a far point's geometry (review
+            finding).
     Returns:
-        idx: [B, S, nsample] int32 indices into the N axis.
+        idx [B, S, nsample] int32, and with return_count also
+        count [B, S] int32 (min(total in-radius hits, nsample) per query;
+        0 marks rows whose gathers are garbage).
     """
     N = xyz.shape[-2]
 
@@ -93,10 +102,14 @@ def query_ball_point(
         neg, _ = jax.lax.top_k(-cand, nsample)
         group_idx = -neg
         first = group_idx[..., :1]
+        count = jnp.sum(
+            (group_idx != N).astype(jnp.int32), axis=-1
+        )                                               # [B, s]
         group_idx = jnp.where(group_idx == N, first, group_idx)
         # A query with zero in-radius hits keeps index N; clamp for safe gather
         # (the reference crashes in this case).
-        return jnp.minimum(group_idx, N - 1)
+        idx = jnp.minimum(group_idx, N - 1)
+        return (idx, count) if return_count else idx
 
     if chunk is None:
         return run(new_xyz)

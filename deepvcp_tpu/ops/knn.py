@@ -73,31 +73,45 @@ def approx_knn(
         chunk: optional query-block size bounding the [chunk, N] tile.
         recall_target: approx_min_k quality knob (per-row expected recall).
         select_dtype: optional reduced dtype (e.g. "bfloat16") for the
-            distance tile — selection only needs relative order, and the
-            [chunk, N] tile is the op's HBM-bandwidth cost; near-ties may
-            pick a different (equally near) neighbor. Returned distances
-            are then also reduced precision — recompute from gathered
-            coordinates where exact values matter (the model does).
+            SELECTION tile — the [chunk, N] tile is the op's HBM cost and
+            selection only needs relative order. Numerics (review finding:
+            the previous all-bf16 expansion lost tens of m^2 to
+            catastrophic cancellation at KITTI-scale coordinates): the
+            coordinates are centered on the reference cloud's mean first
+            (distances are translation-invariant, so the absolute offset
+            never enters), the matmul runs with reduced-dtype INPUTS but
+            f32 MXU accumulation, s2 + r2 and the subtraction stay in f32,
+            and only the final d^2 tile is cast down — which costs pure
+            RELATIVE precision, flipping near-ties only. Residual ranking
+            error scales as 2^-9 * (half_extent)^2 from the input
+            rounding, so callers with very large clouds should fall back
+            to f32 (the model does above
+            DeepVCPConfig.knn_select_f32_extent). Returned distances are
+            reduced precision — recompute from gathered coordinates where
+            exact values matter (the model does).
     Returns:
         (dist [B, M, k] euclidean distances ascending,
          idx [B, M, k] int32 indices into N).
     """
     sel = jnp.dtype(select_dtype) if select_dtype else None
+    if sel is not None:
+        center = jnp.mean(ref, axis=-2, keepdims=True)
+        ref = ref - center
+        query = query - center
+    r2 = jnp.sum(jnp.square(ref), axis=-1)
 
     def run(q):
         if sel is not None:
             s2 = jnp.sum(jnp.square(q), axis=-1)
-            r2 = jnp.sum(jnp.square(ref), axis=-1)
             cross = jnp.einsum(
                 "...nc,...mc->...nm",
                 q.astype(sel),
                 ref.astype(sel),
-                preferred_element_type=sel,
+                preferred_element_type=jnp.float32,
             )
             sqr = (
-                (s2[..., :, None] + r2[..., None, :]).astype(sel)
-                - 2.0 * cross
-            )                                              # [B, m, N] (sel)
+                s2[..., :, None] + r2[..., None, :] - 2.0 * cross
+            ).astype(sel)                                  # [B, m, N] (sel)
         else:
             sqr = square_distance(q, ref)                  # [B, m, N] (MXU)
         d2, idx = jax.lax.approx_min_k(

@@ -24,13 +24,21 @@ this kernel covers the FULL in-radius slab (a superset — exact cap-free
 in-radius semantics). Results are identical whenever the static band
 covers the slab, which window_for guarantees at the configured extent.
 
+`banded_masked_max_grad` is the matching backward: because the in-radius
+relation is symmetric along the sort axis, the gradient receivers' slab
+bounds are the same searchsorted pass, and the transpose is the same
+dynamic-trip sweep accumulating an argmax-indicator sum instead of a max.
+Training therefore runs the exact-slab kernel in BOTH directions — no
+static-band clipping anywhere (the round-1 design clipped the training
+forward so the XLA static-band backward saw every argmax).
+
 Grid: (B, T) — one program per query tile of `tile` points.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,15 +49,12 @@ _NEG = -1e30  # plain float: jnp scalars become captured tracers in kernels
 
 
 def _band_max_kernel(
-    lo_ref, n_ref, clip_ref, xyz_ref, ut_ref, q_ref, out_ref,
+    lo_ref, n_ref, xyz_ref, ut_ref, q_ref, out_ref,
     *, radius2, w, Np, chunk
 ):
     """Block shapes:
         lo_ref [B, T] int32 (SMEM, scalar-prefetch): 128-aligned slab start;
         n_ref [B, T] int32: number of 128-point chunks in the slab;
-        clip_ref [B, 2*T] int32: per-tile [position-clip lo | hi) pairs,
-        interleaved as (lo at 2i, hi at 2i+1) — candidates outside the
-        clip range are masked out (used for static-band parity);
         xyz_ref [1, Np, 3] (full sorted cloud), ut_ref [1, C, Np]
         (features, channel-major), q_ref [1, w, 3] (this tile's queries),
         out_ref [1, w, C].
@@ -58,8 +63,6 @@ def _band_max_kernel(
     i = pl.program_id(1)
     C = ut_ref.shape[1]
     start = lo_ref[b, i]
-    clip_lo = clip_ref[b, 2 * i]
-    clip_hi = clip_ref[b, 2 * i + 1]
     q = q_ref[0]                                        # [w, 3]
 
     def chunk_max(off):
@@ -73,13 +76,9 @@ def _band_max_kernel(
             + jnp.square(q[:, 1:2] - bx[:, 1][None, :])
             + jnp.square(q[:, 2:3] - bx[:, 2][None, :])
         )                                               # [w, chunk]
-        pos = off + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        in_clip = (pos >= clip_lo) & (pos < clip_hi)    # [1, chunk]
         # additive f32 mask: Mosaic only supports minor-dim broadcast
         # insertion for 32-bit types (bool masks fail to lower)
-        pen = jnp.where(
-            (d2 <= radius2) & in_clip, 0.0, _NEG
-        ).astype(jnp.float32)
+        pen = jnp.where(d2 <= radius2, 0.0, _NEG).astype(jnp.float32)
         cand = bu[None, :, :] + pen[:, None, :]         # [w, C, chunk]
         return jnp.max(cand, axis=-1)
 
@@ -95,8 +94,56 @@ def _band_max_kernel(
     out_ref[0] = jax.lax.fori_loop(0, n_chunks, body, acc0)
 
 
+def _slab_bounds(key: jax.Array, radius: float, w: int) -> Tuple[jax.Array, jax.Array]:
+    """Per-tile exact slab bounds over a sorted key array.
+
+    key [B, Np] ascending (padding = +1e7). Returns (lo [B, T] 128-aligned
+    slab starts, n128 [B, T] slab length in 128-point units). The upper
+    bound uses nextafter(last + radius) so boundary-equal keys (points at
+    distance exactly r along the sort axis) are included — lower_bound of
+    last + radius itself would exclude them (review finding)."""
+    from deepvcp_tpu.ops.neighbors import searchsorted_batched
+
+    Np = key.shape[-1]
+    first = key[:, ::w]                                    # [B, T] tile mins
+    last = key[:, w - 1 :: w]                              # [B, T] tile maxs
+    lo = searchsorted_batched(key, first - radius)         # [B, T]
+    hi = searchsorted_batched(
+        key, jnp.nextafter(last + radius, jnp.inf)
+    )                                                      # [B, T]
+    lo = (lo // 128) * 128
+    n128 = jnp.clip((hi - lo + 127) // 128, 1, Np // 128 - lo // 128)
+    return lo.astype(jnp.int32), n128.astype(jnp.int32)
+
+
+def _pad_sorted(arrays, N: int, w: int, chunk: int):
+    """Pad [B, N, *] arrays to Np = the next multiple of lcm(w, 128) that
+    is >= chunk: a multiple of w so tiles divide evenly, of 128 so the
+    kernel's clamped chunk offsets (min(off, Np - chunk), chunk a multiple
+    of 128) keep their 128-alignment proof, and >= chunk so slab reads are
+    in range. The first array is the sorted cloud (padding key +1e7, never
+    extends a real slab); the rest pad with zeros. Returns (list, Np)."""
+    import math
+
+    align = math.lcm(w, 128)
+    Np = max(-(-N // align) * align, -(-chunk // align) * align)
+    pad = Np - N
+    if pad == 0:
+        return list(arrays), Np
+    out = []
+    for j, a in enumerate(arrays):
+        out.append(
+            jnp.pad(
+                a,
+                [(0, 0), (0, pad), (0, 0)],
+                constant_values=1e7 if j == 0 else 0.0,
+            )
+        )
+    return out, Np
+
+
 @functools.partial(
-    jax.jit, static_argnames=("radius", "half", "tile", "chunk", "interpret", "clip_band")
+    jax.jit, static_argnames=("radius", "half", "tile", "chunk", "interpret")
 )
 def banded_masked_max(
     sorted_xyz: jax.Array,
@@ -106,7 +153,6 @@ def banded_masked_max(
     tile: int = 128,
     chunk: int = 128,
     interpret: bool = False,
-    clip_band: Optional[Tuple[int, int]] = None,
 ) -> jax.Array:
     """pooled[b, q, c] = max over n with |x_n - x_q| <= radius of u[b, n, c].
 
@@ -114,77 +160,24 @@ def banded_masked_max(
     [B, N, C]. `half` is accepted for API compatibility with the static-band
     XLA path but ignored: slab bounds are computed exactly per query tile
     (see module docstring). Returns [B, N, C] float32.
-
-    clip_band: optional (band_tile, half_tiles) — additionally restrict
-    each query's candidates to the STATIC band of the XLA formula
-    (fused_sa.xla_banded_max with that tile geometry): positions within
-    [band_tile*floor(q/band_tile) - half_tiles*band_tile,
-     band_tile*(floor(q/band_tile)+1) + half_tiles*band_tile).
-    With it, the result is exactly the XLA static-band function (same
-    radius mask over the same candidate range) at kernel speed — used by
-    the training forward so the custom-VJP backward (which sweeps that
-    static band) sees every forward argmax.
     """
-    from deepvcp_tpu.ops.neighbors import searchsorted_batched
-
     B, N, _ = sorted_xyz.shape
     C = u.shape[-1]
     w = tile
     # CPU has no Mosaic backend; fall back to the interpreter so the same
     # model config runs everywhere (perf only matters on TPU anyway)
     interpret = interpret or jax.default_backend() == "cpu"
-    pad = (-N) % w
-    if pad:
-        sorted_xyz = jnp.pad(
-            sorted_xyz, [(0, 0), (0, pad), (0, 0)], constant_values=1e7
-        )
-        u = jnp.pad(u, [(0, 0), (0, pad), (0, 0)])
-    Np = N + pad
-    if Np < chunk:  # kernel reads `chunk`-point slabs
-        extra = chunk - Np
-        sorted_xyz = jnp.pad(
-            sorted_xyz, [(0, 0), (0, extra), (0, 0)], constant_values=1e7
-        )
-        u = jnp.pad(u, [(0, 0), (0, extra), (0, 0)])
-        Np += extra
+    (sorted_xyz, u), Np = _pad_sorted((sorted_xyz, u), N, w, chunk)
     T = Np // w
 
-    # exact per-tile slab bounds (keys are the sort coordinate, ascending;
-    # padding keys are +1e7 so they never extend a real tile's slab)
-    key = sorted_xyz[..., 0]                               # [B, Np]
-    first = key[:, ::w]                                    # [B, T] tile mins
-    last = key[:, w - 1 :: w]                              # [B, T] tile maxs
-    lo = searchsorted_batched(key, first - radius)         # [B, T]
-    hi = searchsorted_batched(key, last + radius)          # [B, T]
-    if clip_band is not None:
-        band_tile, half_tiles = clip_band
-        # intersect the slab with the static band of each query tile
-        # (wrap-around band candidates are out-of-radius by the extent>2r
-        # assumption, so clamping to the array range matches XLA's mask);
-        # the exact [clip_lo, clip_hi) range is also enforced inside the
-        # kernel by a positional mask — the loop bounds alone are 128-
-        # aligned and slack-padded, so they can overshoot by <256 points
-        xt = (jnp.arange(T, dtype=jnp.int32) * w) // band_tile
-        clip_lo = jnp.maximum((xt - half_tiles) * band_tile, 0)
-        clip_hi = jnp.minimum((xt + 1 + half_tiles) * band_tile, Np)
-        lo = jnp.maximum(lo, clip_lo[None, :])
-        hi = jnp.minimum(hi, clip_hi[None, :])
-        hi = jnp.maximum(hi, lo)
-        clip_lo = jnp.broadcast_to(clip_lo, (B, T))
-        clip_hi = jnp.broadcast_to(clip_hi, (B, T))
-    else:
-        clip_lo = jnp.zeros((B, T), jnp.int32)
-        clip_hi = jnp.full((B, T), Np, jnp.int32)
-    clip = jnp.stack([clip_lo, clip_hi], axis=-1).reshape(B, 2 * T)
-    lo = (lo // 128) * 128
-    # +1 chunk of slack against boundary-equal keys; clamp into range
-    n128 = jnp.clip((hi - lo + 255) // 128, 1, Np // 128 - lo // 128)
+    # exact per-tile slab bounds (keys are the sort coordinate, ascending)
+    lo, n128 = _slab_bounds(sorted_xyz[..., 0], radius, w)
 
     kernel = functools.partial(
         _band_max_kernel, radius2=float(radius) ** 2, w=w, Np=Np, chunk=chunk
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(B, T),
         in_specs=[
             pl.BlockSpec((1, Np, 3), lambda b, i, *_: (b, 0, 0)),
@@ -199,11 +192,126 @@ def banded_masked_max(
         out_shape=jax.ShapeDtypeStruct((B, Np, C), jnp.float32),
         interpret=interpret,
     )(
-        lo.astype(jnp.int32),
-        n128.astype(jnp.int32),
-        clip.astype(jnp.int32),
+        lo,
+        n128,
         sorted_xyz.astype(jnp.float32),
         jnp.swapaxes(u.astype(jnp.float32), -1, -2),
         sorted_xyz.astype(jnp.float32),
     )
     return out[:, :N]
+
+
+def _band_max_grad_kernel(
+    lo_ref, n_ref, xyz_ref, gt_ref, outt_ref, nxyz_ref, nu_ref, grad_ref,
+    *, radius2, w, Np, chunk
+):
+    """Transpose sweep of _band_max_kernel. For each point tile (the
+    gradient RECEIVERS n), sweep the slab of queries q that can see it —
+    the in-radius relation is symmetric along the sort axis, so the bounds
+    are the same _slab_bounds — and accumulate
+
+        grad_u[n, c] = sum_q g[q, c] * [d2(n, q) <= r2][u[n, c] == out[q, c]]
+
+    Block shapes: lo_ref/n_ref [B, T] int32 scalar-prefetch; xyz_ref
+    [1, Np, 3] (resident; chunk reads give query positions); gt_ref /
+    outt_ref [1, C, Np] (cotangent g and forward output, channel-major);
+    nxyz_ref [1, w, 3] and nu_ref [1, w, C] (this tile's points);
+    grad_ref [1, w, C] output."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    C = gt_ref.shape[1]
+    start = lo_ref[b, i]
+    nx = nxyz_ref[0]                                    # [w, 3]
+    nu = nu_ref[0]                                      # [w, C]
+
+    def chunk_grad(off):
+        off = pl.multiple_of(jnp.minimum(off, Np - chunk), 128)
+        qx = xyz_ref[0, pl.ds(off, chunk), :]           # [chunk, 3]
+        qg = gt_ref[0, :, pl.ds(off, chunk)]            # [C, chunk]
+        qo = outt_ref[0, :, pl.ds(off, chunk)]          # [C, chunk]
+        d2 = (
+            jnp.square(nx[:, 0:1] - qx[:, 0][None, :])
+            + jnp.square(nx[:, 1:2] - qx[:, 1][None, :])
+            + jnp.square(nx[:, 2:3] - qx[:, 2][None, :])
+        )                                               # [w, chunk]
+        # f32 indicator masks (bool broadcast insertion does not lower)
+        inr = jnp.where(d2 <= radius2, 1.0, 0.0).astype(jnp.float32)
+        took = jnp.where(
+            nu[:, :, None] == qo[None, :, :], 1.0, 0.0
+        ).astype(jnp.float32)                           # [w, C, chunk]
+        # ties (several n at the query's max) each receive the full
+        # cotangent — identical to the XLA indicator sweep's convention
+        return jnp.sum(qg[None, :, :] * took * inr[:, None, :], axis=-1)
+
+    def body(j, acc):
+        return acc + chunk_grad(start + j * chunk)
+
+    acc0 = jnp.zeros((w, C), jnp.float32)
+    n_chunks = (n_ref[b, i] * 128 + chunk - 1) // chunk
+    grad_ref[0] = jax.lax.fori_loop(0, n_chunks, body, acc0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "tile", "chunk", "interpret")
+)
+def banded_masked_max_grad(
+    sorted_xyz: jax.Array,
+    u: jax.Array,
+    out: jax.Array,
+    g: jax.Array,
+    radius: float,
+    tile: int = 128,
+    chunk: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """VJP of banded_masked_max w.r.t. u (the pooled max's transpose).
+
+    sorted_xyz [B, N, 3], u [B, N, C] (forward input), out [B, N, C]
+    (forward output), g [B, N, C] (cotangent). Returns grad_u [B, N, C]
+    float32. The default chunk is half the forward's: the inner sweep keeps
+    one more [w, C, chunk] block live (indicator + product) than the
+    forward's single masked-max block, and VMEM is the binding constraint
+    at C=64.
+    """
+    B, N, _ = sorted_xyz.shape
+    C = u.shape[-1]
+    w = tile
+    interpret = interpret or jax.default_backend() == "cpu"
+    (sorted_xyz, u, out, g), Np = _pad_sorted(
+        (sorted_xyz, u, out, g), N, w, chunk
+    )
+    T = Np // w
+
+    lo, n128 = _slab_bounds(sorted_xyz[..., 0], radius, w)
+
+    kernel = functools.partial(
+        _band_max_grad_kernel,
+        radius2=float(radius) ** 2, w=w, Np=Np, chunk=chunk,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec((1, Np, 3), lambda b, i, *_: (b, 0, 0)),
+            pl.BlockSpec((1, C, Np), lambda b, i, *_: (b, 0, 0)),
+            pl.BlockSpec((1, C, Np), lambda b, i, *_: (b, 0, 0)),
+            pl.BlockSpec((1, w, 3), lambda b, i, *_: (b, i, 0)),
+            pl.BlockSpec((1, w, C), lambda b, i, *_: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, w, C), lambda b, i, *_: (b, i, 0)),
+    )
+    grad = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Np, C), jnp.float32),
+        interpret=interpret,
+    )(
+        lo,
+        n128,
+        sorted_xyz.astype(jnp.float32),
+        jnp.swapaxes(g.astype(jnp.float32), -1, -2),
+        jnp.swapaxes(out.astype(jnp.float32), -1, -2),
+        sorted_xyz.astype(jnp.float32),
+        u.astype(jnp.float32),
+    )
+    return grad[:, :N]

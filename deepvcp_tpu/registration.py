@@ -92,11 +92,16 @@ class Registrar:
         """
         from collections import deque
 
+        import numpy as np
+
         inflight: deque = deque()
 
         def drain():
             out = inflight.popleft()
-            jax.block_until_ready(out.R)
+            # fetch a small field to host: block_until_ready is optimistic
+            # on the axon tunnel backend (see CLAUDE.md), so only a real
+            # D2H transfer guarantees the depth cap bounds in-flight work
+            np.asarray(out.R)
             return out
 
         for pair in pairs:

@@ -124,6 +124,38 @@ class TestKNN:
         np.testing.assert_allclose(np.asarray(dist), want_dist, atol=1e-3)
         np.testing.assert_allclose(got_d, want_dist, atol=1e-3)
 
+    def test_bf16_selection_survives_coordinate_offset(self):
+        """Review finding: the old all-bf16 d^2 expansion lost tens of m^2
+        to catastrophic cancellation at KITTI-scale absolute coordinates.
+        The fixed path (center on the reference mean, f32 MXU accumulation,
+        f32 combine, cast only the final tile) must keep near-perfect
+        selection overlap when the same cloud is shifted far from the
+        origin."""
+        from deepvcp_tpu.ops.knn import approx_knn, knn
+
+        rng = np.random.default_rng(21)
+        ref = rng.uniform(-10, 10, (1, 400, 3)).astype(np.float32)
+        query = rng.uniform(-10, 10, (1, 100, 3)).astype(np.float32)
+        k = 8
+
+        def overlap(offset):
+            r = jnp.asarray(ref + offset)
+            q = jnp.asarray(query + offset)
+            _, idx_exact = knn(r, q, k=k)
+            _, idx_bf16 = approx_knn(r, q, k=k, select_dtype="bfloat16")
+            a = np.asarray(idx_exact)
+            b = np.asarray(idx_bf16)
+            inter = [
+                len(set(a[0, i]) & set(b[0, i])) for i in range(a.shape[1])
+            ]
+            return np.mean(inter) / k
+
+        at_origin = overlap(0.0)
+        far_away = overlap(1000.0)  # ~100 bf16-ulps of absolute coordinate
+        assert at_origin >= 0.9, at_origin
+        # centering makes selection translation-invariant up to ties
+        assert far_away >= at_origin - 0.05, (far_away, at_origin)
+
     def test_nearest_neighbor_dist(self):
         ref = _rand((1, 25, 3), 11)
         query = _rand((1, 9, 3), 12)

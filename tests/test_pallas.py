@@ -112,46 +112,89 @@ class TestBandedMaxPoolVJP:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-class TestClipBand:
-    def test_clipped_kernel_matches_xla_band_under_undercoverage(self):
-        """Regression (review finding): with a dense cluster the in-radius
-        slab EXCEEDS the static band; the training forward must clip the
-        kernel to the band so the result equals xla_banded_max exactly —
-        otherwise the indicator backward silently drops the gradients of
-        queries whose max came from outside the band."""
-        from deepvcp_tpu.models.fused_sa import xla_banded_max
+class TestBandMaxGradKernel:
+    """The Pallas backward (exact-slab indicator sweep) vs a numpy oracle
+    of the TRUE in-radius max's VJP — including the dense-cluster case
+    where the static band under-covers (the round-1 design had to clip the
+    training forward for exactly this case; the kernel pair is exact)."""
 
-        rng = np.random.default_rng(7)
-        B, N, C = 1, 512, 8
-        # dense along x (slab ~ half the cloud) but extent_x > 2r so the
-        # XLA band's torus wrap-around stays out of radius (the documented
-        # band_of assumption); band is only +-1 tile of 64
+    def _fwd_grad_oracle(self, xyz, u, g, radius):
+        B, N, C = u.shape
+        out = np.full((B, N, C), -1e30, np.float32)
+        for b in range(B):
+            for q in range(N):
+                d2 = np.sum((xyz[b] - xyz[b, q]) ** 2, axis=-1)
+                hit = d2 <= radius * radius
+                if hit.any():
+                    out[b, q] = u[b, hit].max(axis=0)
+        grad = np.zeros((B, N, C), np.float32)
+        for b in range(B):
+            for q in range(N):
+                d2 = np.sum((xyz[b] - xyz[b, q]) ** 2, axis=-1)
+                hit = d2 <= radius * radius
+                for n in np.nonzero(hit)[0]:
+                    took = u[b, n] == out[b, q]
+                    grad[b, n] += np.where(took, g[b, q], 0.0)
+        return out, grad
+
+    def _make_cloud(self, rng, B, N, spread):
         xyz = np.sort(
-            rng.uniform(-1.0, 1.0, (B, N, 1)).astype(np.float32), axis=1
+            rng.uniform(-spread, spread, (B, N, 1)).astype(np.float32),
+            axis=1,
         )
-        xyz = np.concatenate(
-            [xyz, rng.uniform(-0.05, 0.05, (B, N, 2)).astype(np.float32)],
+        return np.concatenate(
+            [xyz, rng.uniform(-spread, spread, (B, N, 2)).astype(np.float32)],
             -1,
         )
+
+    @pytest.mark.parametrize(
+        "B,N,C,spread,radius",
+        [
+            (2, 200, 8, 5.0, 1.0),
+            # dense cluster: the in-radius slab spans ~half the cloud —
+            # far more than any static band
+            (1, 256, 8, 1.0, 0.8),
+        ],
+    )
+    def test_matches_oracle(self, B, N, C, spread, radius):
+        from deepvcp_tpu.ops.pallas import banded_masked_max_grad
+
+        rng = np.random.default_rng(7)
+        xyz = self._make_cloud(rng, B, N, spread)
         u = rng.standard_normal((B, N, C)).astype(np.float32)
-        radius, window, tile = 0.5, 64, 64  # band = +-1 tile of 64
-        want = np.asarray(
-            xla_banded_max(jnp.asarray(xyz), jnp.asarray(u), radius,
-                           window, tile)
-        )
+        g = rng.standard_normal((B, N, C)).astype(np.float32)
+        out, want = self._fwd_grad_oracle(xyz, u, g, radius)
         got = np.asarray(
-            banded_masked_max(
-                jnp.asarray(xyz), jnp.asarray(u), radius, half=window,
-                tile=64, chunk=128, interpret=True,
-                clip_band=(tile, -(-window // tile)),
+            banded_masked_max_grad(
+                jnp.asarray(xyz), jnp.asarray(u), jnp.asarray(out),
+                jnp.asarray(g), radius, tile=64, chunk=128, interpret=True,
             )
         )
-        np.testing.assert_array_equal(got, want)
-        # sanity: the unclipped kernel DOES differ here (slab >> band)
-        unclipped = np.asarray(
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_fwd_bwd_pair_consistent(self):
+        """Kernel forward + kernel backward must be a consistent VJP pair:
+        backward(forward's residuals) == oracle grad of the exact in-radius
+        max."""
+        from deepvcp_tpu.ops.pallas import banded_masked_max_grad
+
+        rng = np.random.default_rng(8)
+        B, N, C, radius = 1, 300, 4, 0.9
+        xyz = self._make_cloud(rng, B, N, 3.0)
+        u = rng.standard_normal((B, N, C)).astype(np.float32)
+        g = rng.standard_normal((B, N, C)).astype(np.float32)
+        out = np.asarray(
             banded_masked_max(
-                jnp.asarray(xyz), jnp.asarray(u), radius, half=window,
-                tile=64, chunk=128, interpret=True,
+                jnp.asarray(xyz), jnp.asarray(u), radius, tile=64,
+                chunk=128, interpret=True,
             )
         )
-        assert np.abs(unclipped - want).max() > 0
+        oracle_out, want = self._fwd_grad_oracle(xyz, u, g, radius)
+        np.testing.assert_allclose(out, oracle_out, atol=1e-6)
+        got = np.asarray(
+            banded_masked_max_grad(
+                jnp.asarray(xyz), jnp.asarray(u), jnp.asarray(out),
+                jnp.asarray(g), radius, tile=64, chunk=128, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
