@@ -111,6 +111,17 @@ class DeepVCPConfig:
         return 6 if self.use_normal else 3
 
     @property
+    def knn_select_dtype_effective(self):
+        """The selection dtype the model ACTUALLY uses: knn_select_dtype
+        gated on the declared cloud scale (see knn_select_f32_extent).
+        Every consumer (model forward, profiler) must read this property so
+        a profiled stage can never run in a precision mode the model
+        doesn't (round-2 advisor finding)."""
+        if self.spatial_extent <= self.knn_select_f32_extent:
+            return self.knn_select_dtype
+        return None
+
+    @property
     def grid_size(self) -> int:
         return int(round(2.0 * self.search_radius / self.voxel_len)) + 1
 

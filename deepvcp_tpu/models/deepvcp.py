@@ -128,11 +128,7 @@ class DeepVCP(nn.Module):
             # reduced-precision selection is gated on cloud scale (see
             # config.knn_select_f32_extent; review finding on bf16
             # cancellation at KITTI-scale coordinates)
-            sel = (
-                cfg.knn_select_dtype
-                if cfg.spatial_extent <= cfg.knn_select_f32_extent
-                else None
-            )
+            sel = cfg.knn_select_dtype_effective
             _, tnb_idx = approx_knn(
                 tgt_xyz, cand_flat, ns, chunk=cfg.knn_query_chunk,
                 select_dtype=sel,

@@ -224,8 +224,17 @@ def _band_max_grad_kernel(
     nx = nxyz_ref[0]                                    # [w, 3]
     nu = nu_ref[0]                                      # [w, C]
 
-    def chunk_grad(off):
-        off = pl.multiple_of(jnp.minimum(off, Np - chunk), 128)
+    def chunk_grad(loff):
+        # Clamping the last overflowing chunk back to Np - chunk re-reads
+        # queries the previous chunk already summed. The forward's max is
+        # idempotent under re-reads; this sum is NOT — zero the re-read
+        # columns (logical position < the unclamped offset) so each query
+        # contributes exactly once (round-2 advisor finding: chunk=256
+        # double-counted the overlap whenever a slab ended at Np with an
+        # odd number of 128-point units).
+        off = pl.multiple_of(jnp.minimum(loff, Np - chunk), 128)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        fresh = jnp.where(col + off >= loff, 1.0, 0.0).astype(jnp.float32)
         qx = xyz_ref[0, pl.ds(off, chunk), :]           # [chunk, 3]
         qg = gt_ref[0, :, pl.ds(off, chunk)]            # [C, chunk]
         qo = outt_ref[0, :, pl.ds(off, chunk)]          # [C, chunk]
@@ -236,6 +245,7 @@ def _band_max_grad_kernel(
         )                                               # [w, chunk]
         # f32 indicator masks (bool broadcast insertion does not lower)
         inr = jnp.where(d2 <= radius2, 1.0, 0.0).astype(jnp.float32)
+        inr = inr * fresh                               # [w, chunk]
         took = jnp.where(
             nu[:, :, None] == qo[None, :, :], 1.0, 0.0
         ).astype(jnp.float32)                           # [w, C, chunk]

@@ -71,7 +71,7 @@ def main(argv=None):
     f_knn = jax.jit(
         lambda t_, q_: approx_knn(
             t_, q_, ns, chunk=cfg.knn_query_chunk,
-            select_dtype=cfg.knn_select_dtype,
+            select_dtype=cfg.knn_select_dtype_effective,
         )
     )
     f_dfe = jax.jit(lambda x: dfe.apply({"params": params["dfe"]}, x))

@@ -12,6 +12,7 @@ cloud pairs.
 
 from __future__ import annotations
 
+import warnings
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -76,11 +77,38 @@ class Registrar:
         """src/tgt: [B, N, 3(+3)] channels-last clouds. init pose defaults
         to identity."""
         B = src.shape[0]
+        self._check_extent(src)
         if R_init is None:
             R_init = jnp.broadcast_to(jnp.eye(3, dtype=src.dtype), (B, 3, 3))
         if t_init is None:
             t_init = jnp.zeros((B, 3), dtype=src.dtype)
         return self._fn(self.variables, src, tgt, R_init, t_init)
+
+    def _check_extent(self, src) -> None:
+        """One-time guard: the bf16 candidate-KNN selection gate and the
+        banded engine's window sizing both key off cfg.spatial_extent, a
+        DECLARED scale. A user feeding raw KITTI clouds (~100 m) with the
+        default extent (20) silently keeps bf16 selection with exactly the
+        ranking error the gate exists to avoid (round-2 review finding).
+        Check the actual data once, outside jit, and warn loudly."""
+        if getattr(self, "_extent_checked", False):
+            return
+        self._extent_checked = True
+        import numpy as np
+
+        xyz = np.asarray(src[..., :3])
+        actual = float((xyz.max(axis=-2) - xyz.min(axis=-2)).max())
+        declared = self.cfg.spatial_extent
+        if actual > 1.5 * declared:
+            warnings.warn(
+                f"cloud extent {actual:.1f} exceeds cfg.spatial_extent="
+                f"{declared:g}: candidate-KNN selection precision and the "
+                f"banded/windowed neighbor windows are sized for the "
+                f"declared extent — set spatial_extent to the real cloud "
+                f"scale (bf16 selection auto-disables above "
+                f"{self.cfg.knn_select_f32_extent:g})",
+                stacklevel=3,
+            )
 
     def stream(self, pairs, depth: int = 4):
         """Pipelined registration over an iterable of (src, tgt[, R_init,

@@ -182,6 +182,35 @@ class TestRegistrar:
         dets = np.linalg.det(np.asarray(out.R))
         np.testing.assert_allclose(dets, 1.0, atol=1e-4)
 
+    def test_extent_mismatch_warns(self):
+        """Feeding clouds far larger than cfg.spatial_extent must warn: the
+        bf16-selection gate and window sizing key off the DECLARED extent,
+        so a silent mismatch reintroduces the ranking error the gate exists
+        to avoid (round-2 review finding)."""
+        import warnings
+
+        from deepvcp_tpu.registration import Registrar
+        from deepvcp_tpu.models import DeepVCP
+        import jax
+
+        cfg = DeepVCPConfig.tiny(num_points=64, use_normal=False)
+        model = DeepVCP(cfg=cfg)
+        rng = np.random.default_rng(0)
+        # cfg.tiny declares spatial_extent=4; feed a ~40-unit cloud
+        src = jnp.asarray(rng.uniform(-20, 20, (1, 64, 3)).astype(np.float32))
+        tgt = src
+        variables = model.init(
+            jax.random.key(0), src, tgt,
+            jnp.eye(3, dtype=jnp.float32)[None], jnp.zeros((1, 3)),
+        )
+        reg = Registrar(cfg, variables)
+        with pytest.warns(UserWarning, match="spatial_extent"):
+            reg(src, tgt)
+        # one-time: a second call must not warn again
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            reg(src, tgt)
+
     def test_stream_matches_per_call(self):
         """stream() must yield the same outputs, in order, as per-call
         registration (it only changes dispatch overlap)."""

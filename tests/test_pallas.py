@@ -147,6 +147,7 @@ class TestBandMaxGradKernel:
             -1,
         )
 
+    @pytest.mark.parametrize("chunk", [128, 256])
     @pytest.mark.parametrize(
         "B,N,C,spread,radius",
         [
@@ -154,9 +155,13 @@ class TestBandMaxGradKernel:
             # dense cluster: the in-radius slab spans ~half the cloud —
             # far more than any static band
             (1, 256, 8, 1.0, 0.8),
+            # wide radius, Np an odd multiple of 128: slabs end at Np with
+            # an odd number of 128-point units, so chunk=256's clamped last
+            # chunk re-reads the previous one (round-2 double-count bug)
+            (1, 300, 4, 6.0, 5.0),
         ],
     )
-    def test_matches_oracle(self, B, N, C, spread, radius):
+    def test_matches_oracle(self, B, N, C, spread, radius, chunk):
         from deepvcp_tpu.ops.pallas import banded_masked_max_grad
 
         rng = np.random.default_rng(7)
@@ -167,7 +172,28 @@ class TestBandMaxGradKernel:
         got = np.asarray(
             banded_masked_max_grad(
                 jnp.asarray(xyz), jnp.asarray(u), jnp.asarray(out),
-                jnp.asarray(g), radius, tile=64, chunk=128, interpret=True,
+                jnp.asarray(g), radius, tile=64, chunk=chunk, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_production_call_signature(self):
+        """Drive banded_masked_max_grad with exactly the arguments
+        models/fused_sa.py _bmp_bwd passes: tile=128 and the DEFAULT chunk
+        (256). Round 2 shipped a double-count here that no test reached
+        because all oracle tests pinned chunk=128."""
+        from deepvcp_tpu.ops.pallas import banded_masked_max_grad
+
+        rng = np.random.default_rng(11)
+        B, N, C, radius = 1, 300, 4, 5.0
+        xyz = self._make_cloud(rng, B, N, 6.0)
+        u = rng.standard_normal((B, N, C)).astype(np.float32)
+        g = rng.standard_normal((B, N, C)).astype(np.float32)
+        out, want = self._fwd_grad_oracle(xyz, u, g, radius)
+        got = np.asarray(
+            banded_masked_max_grad(
+                jnp.asarray(xyz), jnp.asarray(u), jnp.asarray(out),
+                jnp.asarray(g), float(radius), tile=128, interpret=True,
             )
         )
         np.testing.assert_allclose(got, want, atol=1e-5)
