@@ -157,7 +157,13 @@ class KITTIDataset:
 class SyntheticDataset:
     """Random uniform clouds — for tests, benchmarks, and smoke training
     without any dataset on disk. Mirrors the clouds' scale to KITTI-ish
-    extents by default."""
+    extents by default.
+
+    `max_rotation_deg` bounds the synthetic pair's rotation (None = the
+    reference's full-SO(3) distribution); small values give the
+    odometry-like small-motion pairs that identity-init GT-free
+    registration requires (the candidate grid only reaches
+    search_radius + voxel_len/2 around the warm-started keypoints)."""
 
     def __init__(
         self,
@@ -166,6 +172,7 @@ class SyntheticDataset:
         use_normal: bool = False,
         extent: float = 10.0,
         max_translation: float = 1.0,
+        max_rotation_deg: Optional[float] = None,
         seed: int = 0,
     ):
         rng = np.random.default_rng(seed)
@@ -178,6 +185,7 @@ class SyntheticDataset:
             n = rng.standard_normal((num_clouds, num_points, 3))
             self.normals = n / np.linalg.norm(n, axis=-1, keepdims=True)
         self.max_translation = max_translation
+        self.max_rotation_deg = max_rotation_deg
 
     def __len__(self) -> int:
         return len(self.clouds)
@@ -187,8 +195,84 @@ class SyntheticDataset:
         src, tgt, R, t = make_pair(
             self.clouds[index], rng, normals=nrm,
             max_translation=self.max_translation,
+            max_rotation_deg=self.max_rotation_deg,
         )
         return RegistrationPair(src, tgt, R, t)
+
+
+def lidar_like_cloud(
+    rng: np.random.Generator,
+    num_points: int,
+    max_range: float = 10.0,
+    min_range: float = 0.5,
+    ground_fraction: float = 0.6,
+    num_clusters: int = 12,
+) -> np.ndarray:
+    """A velodyne-like cloud with a strong radial density gradient.
+
+    Real spinning-LiDAR scans have point density ~ 1/range^2 (uniform
+    angular sampling), giving ~100x density variation between near and far
+    returns (KITTIDataset.py clouds have this; our uniform synthetic
+    clouds do not). Synthesized as:
+
+    - `ground_fraction` ground returns: log-uniform range (density ~ 1/r
+      along the ground ring, ~1/r^2 per area), uniform azimuth, small
+      vertical jitter;
+    - the rest in `num_clusters` vertical structures (walls/cars) at
+      log-uniform ranges with tight Gaussian spread.
+
+    Returns [num_points, 3] float64, roughly centered at the origin.
+    """
+    n_ground = int(num_points * ground_fraction)
+    n_struct = num_points - n_ground
+    # ground ring
+    r = np.exp(rng.uniform(np.log(min_range), np.log(max_range), n_ground))
+    az = rng.uniform(0.0, 2.0 * np.pi, n_ground)
+    ground = np.stack(
+        [r * np.cos(az), r * np.sin(az), rng.normal(0.0, 0.05, n_ground)],
+        axis=-1,
+    )
+    # vertical structures
+    centers_r = np.exp(
+        rng.uniform(np.log(min_range * 2), np.log(max_range), num_clusters)
+    )
+    centers_az = rng.uniform(0.0, 2.0 * np.pi, num_clusters)
+    centers = np.stack(
+        [
+            centers_r * np.cos(centers_az),
+            centers_r * np.sin(centers_az),
+            rng.uniform(0.0, 1.5, num_clusters),
+        ],
+        axis=-1,
+    )
+    which = rng.integers(0, num_clusters, n_struct)
+    spread = rng.normal(0.0, 0.4, (n_struct, 3))
+    struct = centers[which] + spread
+    return np.concatenate([ground, struct], axis=0)
+
+
+class LidarLikeDataset(SyntheticDataset):
+    """Synthetic velodyne-like clouds (radial density gradient) — the
+    robustness set for the windowed/banded engines' occupancy assumptions
+    and the second training distribution of the accuracy campaign."""
+
+    def __init__(
+        self,
+        num_clouds: int = 64,
+        num_points: int = 10000,
+        max_range: float = 10.0,
+        max_translation: float = 1.0,
+        max_rotation_deg: Optional[float] = None,
+        seed: int = 0,
+    ):
+        rng = np.random.default_rng(seed)
+        self.clouds = [
+            lidar_like_cloud(rng, num_points, max_range=max_range)
+            for _ in range(num_clouds)
+        ]
+        self.normals = None
+        self.max_translation = max_translation
+        self.max_rotation_deg = max_rotation_deg
 
 
 def batch_iterator(

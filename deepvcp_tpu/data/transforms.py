@@ -14,15 +14,24 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from deepvcp_tpu.utils.rotations import random_rotation
+from deepvcp_tpu.utils.rotations import random_bounded_rotation, random_rotation
 
 
 def random_pose(
     rng: np.random.Generator,
     max_translation: float = 1.0,
+    max_rotation_deg: Optional[float] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """(R [3,3] float64, t [3] float64)."""
-    R = np.asarray(random_rotation(rng))
+    """(R [3,3] float64, t [3] float64).
+
+    With max_rotation_deg set, R is a bounded random rotation (geodesic
+    angle uniform in [0, max_rotation_deg]) — the small-motion distribution
+    for identity-init GT-free evaluation and odometry-like pairs. Default
+    None keeps the reference's full-SO(3) Euler sampling."""
+    if max_rotation_deg is None:
+        R = np.asarray(random_rotation(rng))
+    else:
+        R = random_bounded_rotation(rng, max_rotation_deg)
     t = rng.uniform(-max_translation, max_translation, size=3)
     return R, t
 
@@ -32,6 +41,7 @@ def make_pair(
     rng: np.random.Generator,
     normals: Optional[np.ndarray] = None,
     max_translation: float = 1.0,
+    max_rotation_deg: Optional[float] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Build a registration pair from one cloud.
 
@@ -42,7 +52,7 @@ def make_pair(
         (src [N, 3 or 6], tgt [N, 3 or 6], R [3, 3], t [3]) float32,
         channels-last.
     """
-    R, t = random_pose(rng, max_translation)
+    R, t = random_pose(rng, max_translation, max_rotation_deg)
     tgt_xyz = points @ R.T + t
     if normals is not None:
         tgt_nrm = normals @ R.T

@@ -97,10 +97,17 @@ class DeepVCP(nn.Module):
         kp_feat = index_points(src_feat, kp_idx)           # [B,K,F]
 
         # group keypoints among themselves (ref deepVCP.py:54-56)
-        _, local_xyz, nb_idx = group_neighbors(
-            cfg.group_radius, ns, kp_xyz, kp_xyz, features=None
+        _, local_xyz, nb_idx, nb_count = group_neighbors(
+            cfg.group_radius, ns, kp_xyz, kp_xyz, features=None,
+            return_count=True,
         )                                                  # [B,K,ns,3], [B,K,ns]
-        nb_feat = index_points(kp_feat, nb_idx)            # [B,K,ns,F] (D8)
+        # zero-hit mask: self-inclusion makes count >= 1 here, but the
+        # gathered features must never ride an unmasked clamped index
+        # (review finding — masking is free, the garbage is not)
+        nb_feat = jnp.where(
+            (nb_count > 0)[..., None, None],
+            index_points(kp_feat, nb_idx), 0.0,
+        )                                                  # [B,K,ns,F] (D8)
 
         # distance-normalized feature weighting + local coords
         # (ref get_cat_feat_src.py:35-53)

@@ -87,14 +87,15 @@ class SetAbstraction(nn.Module):
         # local_xyz @ Wx + (feat @ Wf)[idx] + b.
         xyz_proj = nn.Dense(c0, dtype=self.dtype, name="proj_xyz")
         if use_window:
-            idx = windowed_ball_query(
-                sorted_cloud, new_xyz, cfg.radius, cfg.nsample, self.window
+            idx, count = windowed_ball_query(
+                sorted_cloud, new_xyz, cfg.radius, cfg.nsample, self.window,
+                return_count=True,
             )
             local_xyz = index_points(xyz, idx) - new_xyz[..., :, None, :]
         else:
-            _, local_xyz, idx = group_neighbors(
+            _, local_xyz, idx, count = group_neighbors(
                 cfg.radius, cfg.nsample, xyz, new_xyz, features=None,
-                chunk=self.query_chunk,
+                chunk=self.query_chunk, return_count=True,
             )
         h = xyz_proj(local_xyz.astype(self.dtype))  # [B,S,ns,c0]
         if features is not None:
@@ -102,6 +103,12 @@ class SetAbstraction(nn.Module):
                 c0, use_bias=False, dtype=self.dtype, name="proj_feat"
             )(features.astype(self.dtype))          # [B,N,c0]
             h = h + index_points(feat_proj, idx)
+        # Zero-hit queries (possible when a windowed slab overflows the
+        # static window on density-gradient clouds, or for foreign query
+        # points) gathered garbage — zero their rows BEFORE the MLP+pool so
+        # no far point's geometry pollutes the pooled feature (review
+        # finding; the reference crashes here, pointnet2_utils.py:100-106).
+        h = jnp.where((count > 0)[..., None, None], h, 0.0)
 
         def norm_act(x, i):
             if self.use_batchnorm:

@@ -149,9 +149,19 @@ def group_neighbors(
     xyz: jax.Array,
     new_xyz: jax.Array,
     features: Optional[jax.Array] = None,
-    chunk: Optional[int] = None,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    chunk: Optional[jax.Array] = None,
+    return_count: bool = False,
+):
     """Ball-query + gather + recenter (the core of `sample_and_group`).
+
+    Zero-hit queries (no point of `xyz` within `radius`) are MASKED: their
+    grouped rows are zeroed instead of carrying an arbitrary clamped
+    point's geometry into the pooled features (the reference crashes on
+    this case, pointnet2_utils.py:100-106; round-1/2 review finding). Rows
+    with >= 1 hit keep reference semantics (pad with the first hit). Note
+    every SA/keypoint call site queries points of the cloud itself, so the
+    self point guarantees count >= 1 there — the mask is the safety net
+    for foreign query points.
 
     Args:
         xyz: [B, N, 3]; new_xyz: [B, S, 3] centroids.
@@ -160,17 +170,28 @@ def group_neighbors(
         (grouped [B, S, nsample, 3+D] with local xyz first,
          grouped_xyz_local [B, S, nsample, 3],
          idx [B, S, nsample])
+        and, with return_count, also count [B, S] int32 so callers can mask
+        downstream gathers of their own (e.g. nb_feat in models/deepvcp.py).
 
     Reference: pointnet2_utils.py:110-138 (minus the FPS step, which is done
     by the caller — see sampling.py; at npoint == N FPS is a permutation and
     is skipped entirely, see models/layers.py).
     """
-    idx = query_ball_point(radius, nsample, xyz, new_xyz, chunk=chunk)
+    idx, count = query_ball_point(
+        radius, nsample, xyz, new_xyz, chunk=chunk, return_count=True
+    )
+    ok = (count > 0)[..., None, None]                          # [B,S,1,1]
     grouped_xyz = index_points(xyz, idx)                       # [B,S,ns,3]
-    grouped_xyz_local = grouped_xyz - new_xyz[..., :, None, :]
+    grouped_xyz_local = jnp.where(
+        ok, grouped_xyz - new_xyz[..., :, None, :], 0.0
+    )
     if features is not None:
-        grouped_feat = index_points(features, idx)             # [B,S,ns,D]
+        grouped_feat = jnp.where(
+            ok, index_points(features, idx), 0.0
+        )                                                      # [B,S,ns,D]
         grouped = jnp.concatenate([grouped_xyz_local, grouped_feat], axis=-1)
     else:
         grouped = grouped_xyz_local
+    if return_count:
+        return grouped, grouped_xyz_local, idx, count
     return grouped, grouped_xyz_local, idx

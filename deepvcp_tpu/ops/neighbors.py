@@ -81,11 +81,48 @@ def searchsorted_batched(sorted_vals: jax.Array, queries: jax.Array) -> jax.Arra
 def window_for(num_points: int, radius: float, extent: float,
                safety: float = 8.0, minimum: int = 128) -> int:
     """Heuristic static window width: safety * expected slab occupancy,
-    rounded up to a multiple of 128 (TPU lane width)."""
+    rounded up to a multiple of 128 (TPU lane width).
+
+    The expectation assumes roughly UNIFORM density along the sort axis;
+    real LiDAR clouds have ~100x radial density variation, so validate the
+    chosen window against the data with `slab_occupancy_stats` (the
+    Registrar preflight does this automatically and suggests a safety
+    factor)."""
     expected = num_points * min(2.0 * radius / max(extent, 1e-6), 1.0)
     w = max(int(expected * safety), minimum)
     w = -(-w // 128) * 128
     return min(w, num_points)
+
+
+def slab_occupancy_stats(xyz, radius: float, axis: int = 0) -> dict:
+    """Host-side audit of the static-window coverage assumption.
+
+    For every point, the number of cloud points within `radius` along the
+    sort axis (the slab the windowed/banded engines must cover). Returns
+    {max, p99, mean} occupancy. A static window (window_for) under-covers
+    whenever max > window: queries in over-dense slabs lose in-radius
+    neighbors (windowed engine) or band candidates (XLA banded path; the
+    Pallas banded kernel computes exact slab bounds and is immune).
+
+    Accepts [N, 3] or [B, N, 3] numpy/jax arrays; pure numpy, O(N log N).
+    """
+    import numpy as np
+
+    xyz = np.asarray(xyz)
+    if xyz.ndim == 2:
+        xyz = xyz[None]
+    occs = []
+    for b in range(xyz.shape[0]):
+        key = np.sort(xyz[b, :, axis])
+        lo = np.searchsorted(key, key - radius, side="left")
+        hi = np.searchsorted(key, key + radius, side="right")
+        occs.append(hi - lo)
+    occ = np.concatenate(occs)
+    return {
+        "max": int(occ.max()),
+        "p99": int(np.percentile(occ, 99)),
+        "mean": float(occ.mean()),
+    }
 
 
 def _window_candidates(
@@ -148,17 +185,26 @@ def windowed_ball_query(
     radius: float,
     nsample: int,
     window: int,
-) -> jax.Array:
+    return_count: bool = False,
+):
     """Ball query against a sorted cloud; reference semantics on the window
     (first `nsample` in-radius points, pad with first hit —
     pointnet2_utils.py:87-107).
 
     Returns idx [B, S, nsample] int32 indices in SORTED order (use
-    cloud.perm to map back to original order if needed).
+    cloud.perm to map back to original order if needed); with return_count
+    also count [B, S] int32 — 0 marks queries whose WINDOW held no in-radius
+    point, whose gathered "neighbors" are therefore garbage and must be
+    masked (this can happen even for self-queries when the local slab
+    occupancy exceeds `window` on density-gradient clouds; see
+    slab_occupancy / the Registrar preflight audit).
     """
     cand_idx, in_radius = _window_candidates(cloud, query_xyz, radius, window)
-    pos, _ = select_first_k(in_radius, nsample)
-    return jnp.take_along_axis(cand_idx, pos, axis=-1)
+    pos, count = select_first_k(in_radius, nsample)
+    idx = jnp.take_along_axis(cand_idx, pos, axis=-1)
+    if return_count:
+        return idx, count
+    return idx
 
 
 def windowed_knn(

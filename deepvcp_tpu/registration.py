@@ -85,20 +85,32 @@ class Registrar:
         return self._fn(self.variables, src, tgt, R_init, t_init)
 
     def _check_extent(self, src) -> None:
-        """One-time guard: the bf16 candidate-KNN selection gate and the
-        banded engine's window sizing both key off cfg.spatial_extent, a
-        DECLARED scale. A user feeding raw KITTI clouds (~100 m) with the
-        default extent (20) silently keeps bf16 selection with exactly the
-        ranking error the gate exists to avoid (round-2 review finding).
-        Check the actual data once, outside jit, and warn loudly."""
+        """One-time data preflight, outside jit (round-2 review findings):
+
+        1. extent guard — the bf16 candidate-KNN selection gate and window
+           sizing key off cfg.spatial_extent, a DECLARED scale; a user
+           feeding raw KITTI clouds (~100 m) at the default extent (20)
+           silently keeps bf16 selection with exactly the ranking error the
+           gate exists to avoid;
+        2. slab-occupancy audit — window_for assumes uniform density along
+           the sort axis; on density-gradient clouds (real velodyne: ~100x)
+           the static window under-covers over-dense slabs. Audit the
+           actual occupancy per SA radius and suggest the safety factor
+           that would cover it."""
         if getattr(self, "_extent_checked", False):
             return
         self._extent_checked = True
         import numpy as np
 
+        from deepvcp_tpu.ops.neighbors import (
+            slab_occupancy_stats,
+            window_for,
+        )
+
+        cfg = self.cfg.resolve()
         xyz = np.asarray(src[..., :3])
         actual = float((xyz.max(axis=-2) - xyz.min(axis=-2)).max())
-        declared = self.cfg.spatial_extent
+        declared = cfg.spatial_extent
         if actual > 1.5 * declared:
             warnings.warn(
                 f"cloud extent {actual:.1f} exceeds cfg.spatial_extent="
@@ -106,7 +118,36 @@ class Registrar:
                 f"banded/windowed neighbor windows are sized for the "
                 f"declared extent — set spatial_extent to the real cloud "
                 f"scale (bf16 selection auto-disables above "
-                f"{self.cfg.knn_select_f32_extent:g})",
+                f"{cfg.knn_select_f32_extent:g})",
+                stacklevel=3,
+            )
+        # the Pallas banded kernel computes exact slab bounds; only the
+        # gathered-window paths depend on window_for coverage
+        windowed_paths = cfg.neighbor_method == "windowed" or (
+            cfg.neighbor_method == "banded" and not cfg.use_pallas_band_max
+        )
+        if not windowed_paths:
+            return
+        N = xyz.shape[-2]
+        worst = 0.0
+        for layer in cfg.sa_layers:
+            w = window_for(
+                N, layer.radius, cfg.spatial_extent, cfg.window_safety
+            )
+            if w >= N:
+                continue
+            occ = slab_occupancy_stats(xyz, layer.radius)
+            if occ["max"] > w:
+                worst = max(worst, cfg.window_safety * occ["max"] / w)
+        if worst > 0:
+            warnings.warn(
+                f"static neighbor windows under-cover this cloud's density "
+                f"peaks (slab occupancy exceeds the window sized by "
+                f"window_safety={cfg.window_safety:g}); over-dense queries "
+                f"lose in-radius neighbors (zero-hit rows are masked, not "
+                f"polluted). Raise window_safety to ~{worst:.1f}, or use "
+                f"neighbor_method='banded' with use_pallas_band_max (exact "
+                f"slab bounds) or 'dense'",
                 stacklevel=3,
             )
 

@@ -142,6 +142,18 @@ def make_train_step(model: DeepVCP, tx, cfg: TrainConfig, mesh=None):
 
 
 def make_eval_step(model: DeepVCP, cfg: TrainConfig):
+    """Eval reports TWO operating points per batch:
+
+    - warm-started (R_init = R_gt, like training and ref train.py:104-105):
+      `rre_deg`/`rte` — measures correspondence quality given the pose;
+    - GT-free (identity init + the unsupervised svd_refine solver, the
+      Registrar inference path): `gt_free_rre_deg`/`gt_free_rte` — the
+      honest capability number. For full-SO(3) pairs this is expected to be
+      poor (the candidate grid only reaches ~search_radius around the
+      un-warmed keypoints); on small-motion pairs it is the headline metric.
+    """
+    from deepvcp_tpu.loss.registration import svd_refine
+
     def eval_step(state: TrainState, src, tgt, R_gt, t_gt):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         kp, vcp, aux = model.apply(
@@ -150,10 +162,20 @@ def make_eval_step(model: DeepVCP, cfg: TrainConfig):
         res = deepvcp_loss(
             kp, vcp, R_gt, t_gt, alpha=cfg.alpha, inlier_ratio=cfg.inlier_ratio
         )
+        B = src.shape[0]
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=src.dtype), (B, 3, 3))
+        kp0, vcp0, _ = model.apply(
+            variables, src, tgt, eye, jnp.zeros_like(t_gt), train=False
+        )
+        free = svd_refine(kp0, vcp0, cfg.inlier_ratio)
         return {
             "loss": res.loss,
             "rre_deg": jnp.mean(rotation_geodesic_deg(res.R, R_gt)),
             "rte": jnp.mean(translation_error(res.t, t_gt)),
+            "gt_free_rre_deg": jnp.mean(
+                rotation_geodesic_deg(free.R, R_gt)
+            ),
+            "gt_free_rte": jnp.mean(translation_error(free.t, t_gt)),
         }, (res.R, res.t)
 
     return jax.jit(eval_step)

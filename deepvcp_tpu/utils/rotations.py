@@ -40,6 +40,29 @@ def random_rotation(rng: np.random.Generator) -> np.ndarray:
     return euler_to_matrix(tx, ty, tz)
 
 
+def axis_angle_to_matrix(axis: np.ndarray, angle: float) -> np.ndarray:
+    """Rodrigues' formula: rotation by `angle` (radians) about unit `axis`."""
+    axis = np.asarray(axis, dtype=np.float64)
+    axis = axis / (np.linalg.norm(axis) + 1e-30)
+    kx, ky, kz = axis
+    K = np.array(
+        [[0.0, -kz, ky], [kz, 0.0, -kx], [-ky, kx, 0.0]], dtype=np.float64
+    )
+    return np.eye(3) + np.sin(angle) * K + (1.0 - np.cos(angle)) * (K @ K)
+
+
+def random_bounded_rotation(
+    rng: np.random.Generator, max_angle_deg: float
+) -> np.ndarray:
+    """Random rotation with geodesic angle uniform in [0, max_angle_deg]
+    about a uniform random axis — the small-motion pair distribution for
+    identity-init (GT-free) registration, where the candidate grid's reach
+    (cfg.search_radius + grid slack) bounds the recoverable motion."""
+    axis = rng.standard_normal(3)
+    angle = rng.uniform(0.0, np.radians(max_angle_deg))
+    return axis_angle_to_matrix(axis, angle)
+
+
 def rotation_geodesic_deg(R_pred: jax.Array, R_true: jax.Array) -> jax.Array:
     """Relative rotation error in degrees: angle of R_pred^T R_true.
 

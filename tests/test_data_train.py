@@ -241,3 +241,58 @@ class TestRegistrar:
             np.testing.assert_allclose(
                 np.asarray(out.t), np.asarray(ref.t), atol=1e-6
             )
+
+
+class TestSmallMotionPairs:
+    def test_bounded_rotation(self):
+        from deepvcp_tpu.data import SyntheticDataset
+        from deepvcp_tpu.utils import rotation_geodesic_deg
+
+        ds = SyntheticDataset(
+            num_clouds=8, num_points=32, extent=2.0,
+            max_rotation_deg=5.0, max_translation=0.3,
+        )
+        for i in range(8):
+            p = ds.sample(i, np.random.default_rng(i))
+            ang = float(
+                rotation_geodesic_deg(
+                    jnp.asarray(p.R), jnp.eye(3, dtype=jnp.float32)
+                )
+            )
+            assert ang <= 5.0 + 1e-3, ang
+            assert np.abs(p.t).max() <= 0.3 + 1e-6
+            # pair consistency: tgt == R src + t
+            np.testing.assert_allclose(
+                p.tgt, p.src @ p.R.T + p.t, atol=1e-5
+            )
+
+    def test_lidar_like_dataset(self):
+        from deepvcp_tpu.data import LidarLikeDataset
+
+        ds = LidarLikeDataset(num_clouds=2, num_points=256, max_range=10.0)
+        p = ds.sample(0, np.random.default_rng(0))
+        assert p.src.shape == (256, 3)
+        np.testing.assert_allclose(p.tgt, p.src @ p.R.T + p.t, atol=1e-4)
+
+
+class TestGtFreeEval:
+    def test_eval_logs_both_operating_points(self, tmp_path):
+        """Trainer.evaluate must report warm-started AND identity-init
+        (GT-free) RRE/RTE (round-2 review: eval warm-starting with R_gt
+        overstated capability with nothing honest alongside)."""
+        from deepvcp_tpu.data import SyntheticDataset, batch_iterator
+        from deepvcp_tpu.train import Trainer
+
+        cfg = DeepVCPConfig.tiny(num_points=64, use_normal=False)
+        tcfg = TrainConfig(
+            num_epochs=1, batch_size=2,
+            metrics_path=str(tmp_path / "m.jsonl"),
+            checkpoint_dir=str(tmp_path / "ck"),
+        )
+        tr = Trainer(cfg, tcfg)
+        ds = SyntheticDataset(num_clouds=2, num_points=64, extent=2.0)
+        sample = next(batch_iterator(ds, 2, epoch=0, seed=0))
+        tr.setup(sample)
+        out = tr.evaluate(batch_iterator(ds, 2, epoch=0, seed=0))
+        for key in ("rre_deg", "rte", "gt_free_rre_deg", "gt_free_rte"):
+            assert key in out and np.isfinite(out[key]), (key, out)

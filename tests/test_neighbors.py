@@ -135,3 +135,124 @@ class TestWindowFor:
         w = nb.window_for(10000, 0.1, 80.0)
         assert 128 <= w <= 10000 and w % 128 == 0
         assert nb.window_for(64, 1.0, 2.0) == 64
+
+
+class TestDensityGradient:
+    """Robustness on velodyne-like density-gradient clouds (real LiDAR has
+    ~100x radial density variation; uniform-cloud tests can't catch
+    windowed under-coverage — round-1/2 review finding)."""
+
+    def _cloud(self, n=4096, seed=0):
+        from deepvcp_tpu.data.datasets import lidar_like_cloud
+
+        rng = np.random.default_rng(seed)
+        return lidar_like_cloud(rng, n, max_range=10.0).astype(np.float32)
+
+    def test_occupancy_audit_detects_gradient(self):
+        """slab_occupancy_stats must report a density peak far above the
+        uniform expectation on a lidar-like cloud."""
+        xyz = self._cloud()
+        N = xyz.shape[0]
+        occ = nb.slab_occupancy_stats(xyz, radius=0.4)
+        uniform_expected = N * 2 * 0.4 / 20.0
+        assert occ["max"] > 3 * uniform_expected, occ
+
+    def test_windowed_coverage_after_audit(self):
+        """Sizing the window to the AUDITED max occupancy restores full
+        in-radius coverage on the gradient cloud (the audit's suggested fix
+        actually works)."""
+        xyz = self._cloud(n=2048)[None]
+        radius, ns = 0.4, 16
+        occ = nb.slab_occupancy_stats(xyz[0], radius)
+        window = min(-(-occ["max"] // 128) * 128, xyz.shape[1])
+        cloud = nb.sort_cloud(jnp.asarray(xyz))
+        idx, count = nb.windowed_ball_query(
+            cloud, cloud.xyz, radius, ns, window, return_count=True
+        )
+        # oracle: dense ball query on sorted coords
+        _, dense_count = ops.query_ball_point(
+            radius, ns, cloud.xyz, cloud.xyz, return_count=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(count) > 0, np.asarray(dense_count) > 0
+        )
+        # every selected neighbor is genuinely in radius
+        nb_xyz = ops.index_points(cloud.xyz, idx)
+        d = np.linalg.norm(
+            np.asarray(nb_xyz) - np.asarray(cloud.xyz)[:, :, None], axis=-1
+        )
+        assert (d <= radius + 1e-5).all()
+
+    def test_zero_hit_rows_masked_in_sa(self):
+        """An SA stage fed a deliberately under-sized window must produce
+        ZERO pooled features for zero-hit rows, not a far point's geometry
+        (the round-1 pollution finding, now wired through return_count)."""
+        import flax.linen as nn_  # noqa: F401
+        from deepvcp_tpu.config import SALayerConfig
+        from deepvcp_tpu.models.layers import SetAbstraction
+
+        # deterministic zero-hit construction: a 900-point "wall" that
+        # shares the query's sort-axis slab but sits 100 units away in y —
+        # the 128-wide window fills with wall points, none in 3-D radius,
+        # and the query point itself overflows past the window's end
+        radius = 0.1
+        window = 128
+        rng = np.random.default_rng(5)
+        wall = np.stack(
+            [
+                rng.uniform(-radius, -1e-4, 900),
+                np.full(900, 100.0),
+                np.zeros(900),
+            ],
+            axis=-1,
+        )
+        rest = rng.uniform(5, 10, (123, 3))
+        probe = np.zeros((1, 3))
+        xyz = np.concatenate([wall, probe, rest]).astype(np.float32)[None]
+        cloud = nb.sort_cloud(jnp.asarray(xyz))
+        idx, count = nb.windowed_ball_query(
+            cloud, cloud.xyz, radius, 8, window, return_count=True
+        )
+        count = np.asarray(count)
+        assert (count == 0).any(), "construction must produce zero-hit rows"
+        layer = SALayerConfig(npoint=1024, radius=radius, nsample=8,
+                              mlp=(8, 8))
+        sa = SetAbstraction(layer, use_batchnorm=False, window=window)
+        variables = sa.init(
+            jax.random.key(0), cloud.xyz, None, False, cloud
+        )
+        _, pooled = sa.apply(
+            variables, cloud.xyz, None, False, cloud
+        )
+        pooled = np.asarray(pooled)
+        zero_rows = pooled[0][count[0] == 0]
+        np.testing.assert_array_equal(zero_rows, 0.0)
+
+    @pytest.mark.parametrize("method", ["dense", "windowed", "banded"])
+    def test_model_forward_finite_on_gradient_cloud(self, method):
+        """All three neighbor engines must produce finite outputs on the
+        density-gradient cloud (garbage gathers masked, no NaN/inf)."""
+        from deepvcp_tpu import DeepVCPConfig
+        from deepvcp_tpu.models import DeepVCP
+
+        n = 512
+        xyz = self._cloud(n=n, seed=3)[None]
+        cfg = DeepVCPConfig.tiny(num_points=n, use_normal=False)
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, neighbor_method=method, spatial_extent=20.0,
+            knn_window=min(512, n),
+        )
+        model = DeepVCP(cfg=cfg)
+        src = jnp.asarray(xyz)
+        variables = model.init(
+            jax.random.key(0), src, src,
+            jnp.eye(3, dtype=jnp.float32)[None], jnp.zeros((1, 3)),
+        )
+        kp, vcp, aux = model.apply(
+            variables, src, src,
+            jnp.eye(3, dtype=jnp.float32)[None], jnp.zeros((1, 3)),
+            train=False,
+        )
+        assert np.isfinite(np.asarray(kp)).all()
+        assert np.isfinite(np.asarray(vcp)).all()
