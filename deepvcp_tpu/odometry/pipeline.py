@@ -55,28 +55,55 @@ def register_sequence(
     registrar: Registrar,
     scans: np.ndarray,
     batch_size: int = 1,
+    warm_start: bool = True,
+    stream_depth: int = 4,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Pairwise-register consecutive frames (src=i, tgt=i+1).
+
+    With `warm_start` (default), pair i+1 is initialized with pair i's
+    SOLVED pose — the constant-velocity motion prior (the model input the
+    reference computes but never uses at inference, deepVCP.py:86-92 /
+    train.py:104-105). This is what makes routine inter-frame motion
+    tractable: the candidate grid only reaches ~(search_radius +
+    voxel_len/2) around the warm-started keypoints, so identity init fails
+    outright once per-frame motion exceeds grid reach, while the prior only
+    has to absorb the per-frame *acceleration*. The data dependence makes
+    this path sequential (batch_size is ignored).
+
+    With warm_start=False, frames are identity-initialized and pipelined
+    through Registrar.stream (depth `stream_depth`) — the high-throughput
+    mode for pre-aligned or small-motion sequences.
 
     Returns relative poses (R_rel [F-1, 3, 3], t_rel [F-1, 3]) with
     x_{i+1} ~= R_rel[i] x_i + t_rel[i].
     """
     F = scans.shape[0]
-    src_idx = np.arange(F - 1)
+    if warm_start:
+        R_out, t_out = [], []
+        R_prev = np.eye(3, dtype=np.float32)
+        t_prev = np.zeros(3, dtype=np.float32)
+        for i in range(F - 1):
+            out = registrar(
+                jnp.asarray(scans[i : i + 1]),
+                jnp.asarray(scans[i + 1 : i + 2]),
+                R_init=jnp.asarray(R_prev[None]),
+                t_init=jnp.asarray(t_prev[None]),
+            )
+            R_prev = np.asarray(out.R)[0]
+            t_prev = np.asarray(out.t)[0]
+            R_out.append(R_prev)
+            t_out.append(t_prev)
+        return np.stack(R_out), np.stack(t_out)
+
+    pairs = (
+        (jnp.asarray(scans[i : i + 1]), jnp.asarray(scans[i + 1 : i + 2]))
+        for i in range(F - 1)
+    )
     R_out, t_out = [], []
-    for start in range(0, F - 1, batch_size):
-        idx = src_idx[start : start + batch_size]
-        src = jnp.asarray(scans[idx])
-        tgt = jnp.asarray(scans[idx + 1])
-        # pad the last partial batch to keep one compiled shape
-        pad = batch_size - src.shape[0]
-        if pad:
-            src = jnp.concatenate([src, src[-1:].repeat(pad, axis=0)])
-            tgt = jnp.concatenate([tgt, tgt[-1:].repeat(pad, axis=0)])
-        out = registrar(src, tgt)
-        R_out.append(np.asarray(out.R)[: len(idx)])
-        t_out.append(np.asarray(out.t)[: len(idx)])
-    return np.concatenate(R_out), np.concatenate(t_out)
+    for out in registrar.stream(pairs, depth=stream_depth):
+        R_out.append(np.asarray(out.R)[0])
+        t_out.append(np.asarray(out.t)[0])
+    return np.stack(R_out), np.stack(t_out)
 
 
 def run_odometry(
@@ -86,9 +113,12 @@ def run_odometry(
     optimize: bool = True,
     gn_iters: int = 20,
     batch_size: int = 1,
+    warm_start: bool = True,
 ) -> dict:
     """Full odometry run. Returns a dict with the trajectory and metrics."""
-    R_rel, t_rel = register_sequence(registrar, scans, batch_size)
+    R_rel, t_rel = register_sequence(
+        registrar, scans, batch_size, warm_start=warm_start
+    )
     R_abs, t_abs = chain_poses(jnp.asarray(R_rel), jnp.asarray(t_rel))
     result = {
         "R_rel": R_rel,

@@ -275,7 +275,12 @@ class Trainer:
             self.load_checkpoint(retrain_path)
 
     def train_epoch(self, batches: Iterator, epoch: int) -> Dict[str, float]:
-        agg: Dict[str, float] = {}
+        """One epoch. Metrics stay ON DEVICE between log points: each
+        float() is a host round trip (~23 ms on the axon tunnel — at
+        per-step fetch cadence that dominates the 30+ steps/s device
+        time), so the running sum is a device-side tree and the host only
+        syncs every `log_every` steps plus once at epoch end."""
+        agg = None
         n = 0
         for i, (src, tgt, R, t) in enumerate(batches):
             self.state, m = self._train_step(
@@ -285,15 +290,21 @@ class Trainer:
                 jnp.asarray(R),
                 jnp.asarray(t),
             )
+            agg = (
+                m
+                if agg is None
+                else jax.tree_util.tree_map(jnp.add, agg, m)
+            )
             n += 1
-            m = {k: float(v) for k, v in m.items()}
-            for k, v in m.items():
-                agg[k] = agg.get(k, 0.0) + v
             if (i + 1) % self.cfg.log_every == 0:
+                host_m = {k: float(v) for k, v in m.items()}
                 self.metrics.log(
-                    {"kind": "train", "epoch": epoch, "batch": i, **m}
+                    {"kind": "train", "epoch": epoch, "batch": i, **host_m}
                 )
-        return {k: v / max(n, 1) for k, v in agg.items()}
+        if agg is None:
+            return {}
+        agg = jax.device_get(agg)
+        return {k: float(v) / max(n, 1) for k, v in agg.items()}
 
     def evaluate(self, batches: Iterator, epoch: int = -1) -> Dict[str, float]:
         agg: Dict[str, float] = {}

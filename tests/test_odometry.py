@@ -140,3 +140,86 @@ class TestMetrics:
         )
         assert float(jnp.max(ang)) < 1e-3
         assert float(jnp.max(dt)) < 1e-5
+
+
+class TestWarmStartSequence:
+    """register_sequence's constant-velocity warm start: the prior must be
+    threaded frame-to-frame so only per-frame ACCELERATION has to fit in
+    the candidate grid's reach, not the absolute motion (round-2 review:
+    identity init caps usable inter-frame motion at grid reach ~1.2)."""
+
+    class _FakeRegistrar:
+        """Returns the exact pose iff the init is within `reach` of the
+        true relative pose (mimicking the grid-reach constraint); identity
+        otherwise. Records every init it receives."""
+
+        def __init__(self, true_poses, reach):
+            self.true_poses = true_poses  # list of (R [3,3], t [3])
+            self.reach = reach
+            self.calls = 0
+            self.inits = []
+
+        def __call__(self, src, tgt, R_init=None, t_init=None):
+            from types import SimpleNamespace
+
+            R_true, t_true = self.true_poses[self.calls]
+            self.calls += 1
+            R0 = (
+                np.eye(3, dtype=np.float32)
+                if R_init is None
+                else np.asarray(R_init)[0]
+            )
+            t0 = (
+                np.zeros(3, dtype=np.float32)
+                if t_init is None
+                else np.asarray(t_init)[0]
+            )
+            # residual displacement the grid must absorb (rotation error
+            # folded into translation at unit lever arm)
+            resid = np.linalg.norm(t_true - t0) + np.linalg.norm(
+                R_true - R0
+            )
+            ok = resid <= self.reach
+            R = R_true if ok else np.eye(3, dtype=np.float32)
+            t = t_true if ok else np.zeros(3, dtype=np.float32)
+            return SimpleNamespace(
+                R=jnp.asarray(R[None]), t=jnp.asarray(t[None])
+            )
+
+        def stream(self, pairs, depth=4):
+            for pair in pairs:
+                yield self(*pair)
+
+    def _accelerating_sequence(self, num_frames=8):
+        """Per-frame translation grows 0.5, 0.7, ... 1.9 along +x: absolute
+        motion exceeds reach=1.2 from frame 5 on, but frame-to-frame
+        acceleration is 0.2."""
+        poses = []
+        for i in range(num_frames - 1):
+            t = np.array([0.5 + 0.2 * i, 0.0, 0.0], dtype=np.float32)
+            poses.append((np.eye(3, dtype=np.float32), t))
+        return poses
+
+    def test_warm_start_succeeds_where_identity_fails(self):
+        from deepvcp_tpu.odometry.pipeline import register_sequence
+
+        poses = self._accelerating_sequence()
+        scans = np.zeros((len(poses) + 1, 16, 3), np.float32)
+        reach = 1.2
+
+        cold = self._FakeRegistrar(poses, reach)
+        R_c, t_c = register_sequence(
+            cold, scans, warm_start=False
+        )
+        # identity init fails once motion exceeds reach
+        t_true = np.stack([p[1] for p in poses])
+        cold_err = np.linalg.norm(t_c - t_true, axis=-1)
+        assert (cold_err > 0.5).any(), cold_err
+
+        warm = self._FakeRegistrar(poses, reach)
+        R_w, t_w = register_sequence(warm, scans, warm_start=True)
+        np.testing.assert_allclose(t_w, t_true, atol=1e-6)
+        # and the inits actually threaded: call i>0 got pose i-1
+        # (register_sequence passed R_init/t_init on every call after the
+        # first implicit identity)
+        assert warm.calls == len(poses)
