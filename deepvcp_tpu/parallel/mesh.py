@@ -54,8 +54,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host (src, tgt, R, t) batch with the pair shardings."""
+    """Device-put a host (src, tgt, R, t) batch with the pair shardings.
+
+    Single-process: a plain device_put. Multi-process: `batch` is this
+    HOST'S LOCAL shard (from data.batch_iterator(host_id=..,
+    num_hosts=..)) and the global array is assembled with
+    jax.make_array_from_process_local_data — numpy inputs cannot take
+    cross-process shardings directly."""
+    shardings = batch_pair_sharding(mesh)
+    if jax.process_count() > 1:
+        return tuple(
+            jax.make_array_from_process_local_data(s, np.asarray(a))
+            for a, s in zip(batch, shardings)
+        )
     return tuple(
-        jax.device_put(np.asarray(a), s)
-        for a, s in zip(batch, batch_pair_sharding(mesh))
+        jax.device_put(np.asarray(a), s) for a, s in zip(batch, shardings)
     )

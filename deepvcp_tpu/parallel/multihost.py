@@ -12,6 +12,7 @@ a disjoint stride of the index stream.
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Tuple
 
 import jax
@@ -24,21 +25,47 @@ def initialize_multihost(
 ) -> bool:
     """Initialize jax.distributed when running multi-process.
 
-    No-ops (returns False) in single-process settings — so the same entry
-    point works on one chip, one host, or a pod slice. TPU pods usually
-    need no explicit arguments (the runtime discovers peers).
+    Semantics (round-2 review: a bare `except Exception: return False`
+    silently degraded a misconfigured pod run to single-host):
+
+    - EXPLICIT arguments (a coordinator address or process topology was
+      given): the caller declared a multi-process run, so any
+      initialization failure is a configuration error and RAISES.
+    - no arguments (auto-discovery): single-process environments are
+      expected and return False, but with a loud warning naming the cause
+      so a pod run that lands here is visible in the logs.
+
+    TPU pods usually need no explicit arguments (the runtime discovers
+    peers). Tested for real by tests/test_multihost.py: two spawned
+    jax.distributed CPU processes drive one sharded train step.
     """
-    if jax.process_count() > 1:
-        return True  # already initialized
+    # NB: must not touch the XLA backend before jax.distributed.initialize
+    # (jax.process_count() would initialize it), so the idempotence check
+    # uses jax.distributed's own state
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
+    explicit = any(
+        a is not None for a in (coordinator_address, num_processes, process_id)
+    )
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-        return jax.process_count() > 1
-    except Exception:
+    except Exception as e:
+        if explicit:
+            raise RuntimeError(
+                "jax.distributed.initialize failed for an explicitly "
+                f"configured multi-process run: {e!r}"
+            ) from e
+        warnings.warn(
+            f"multi-host auto-initialization unavailable ({e!r}); "
+            "continuing single-process",
+            stacklevel=2,
+        )
         return False
+    return jax.process_count() > 1
 
 
 def host_shard_info() -> Tuple[int, int]:
