@@ -180,6 +180,17 @@ class TrainConfig:
     learning_rate: float = 1e-3
     alpha: float = 0.5               # loss balancing factor
     inlier_ratio: float = 0.8        # SVD outlier rejection keep-fraction
+    # Weight of the paper's direct per-keypoint VCP L1 term (DeepVCP
+    # Eq. 5). The reference only supervises the rigid FIT of the VCPs
+    # (deepVCP_loss.py:110-119), so per-point correspondence errors that
+    # cancel in the solve get no gradient; > 0 adds the direct term.
+    # 0 keeps exact reference-loss semantics.
+    vcp_loss_weight: float = 0.0
+    # "constant" (reference parity) or "cosine" (warmup_steps linear
+    # warmup then cosine decay over total_steps to 1% of learning_rate).
+    lr_schedule: str = "constant"
+    warmup_steps: int = 100
+    total_steps: int = 0             # required for lr_schedule="cosine"
     grad_clip_norm: float = 10.0     # global-norm clip; 0 disables
                                      # (untrained grads spike to ~1e4 through
                                      # the SVD backward — observed)

@@ -98,26 +98,47 @@ class KITTIDataset:
     random pose (no consecutive-frame pairing — that lives in odometry/).
     `files_per_seq` mirrors the reference's first-50-scans cap
     (KITTIDataset.py:33); pass None for all scans.
+
+    `split` partitions the data (the reference accepts but ignores an
+    equivalent argument — its splitting never happened):
+      - "all": every scan of every sequence;
+      - "train"/"test" with >= 2 sequences: sequence-based (the odometry
+        convention) — train gets all sequences but the last, test gets the
+        last;
+      - "train"/"test" with a single sequence: scan-based 80/20 within it.
     """
 
     def __init__(
         self,
         root: str,
         sequences: Sequence[str] = ("00", "01", "02", "03"),
-        split: str = "train",
+        split: str = "all",
         num_points: int = 10000,
         files_per_seq: Optional[int] = 50,
         max_translation: float = 1.0,
         eager: bool = False,
         seed: int = 0,
     ):
+        if split not in ("all", "train", "test"):
+            raise ValueError(f"split must be all/train/test, got {split!r}")
         self.root = root
+        self.split = split
         self.num_points = num_points
         self.max_translation = max_translation
+        scan_split = split != "all" and len(sequences) == 1
+        if split != "all" and len(sequences) > 1:
+            sequences = (
+                tuple(sequences[:-1]) if split == "train"
+                else (sequences[-1],)
+            )
+        self.sequences = tuple(sequences)
         self.files: List[str] = []
-        for seq in sequences:
+        for seq in self.sequences:
             vdir = os.path.join(root, "sequences", seq, "velodyne")
             names = sorted(os.listdir(vdir))[:files_per_seq]
+            if scan_split:
+                cut = max(int(len(names) * 0.8), 1)
+                names = names[:cut] if split == "train" else names[cut:]
             self.files.extend(os.path.join(vdir, n) for n in names)
         self._cache: dict = {}
         self._downsample_rng = np.random.default_rng(seed)

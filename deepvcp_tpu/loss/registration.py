@@ -37,6 +37,7 @@ class RegistrationResult(NamedTuple):
     t: jax.Array           # [B, 3] refined translation
     l1: jax.Array          # scalar: alpha term
     mean_residual: jax.Array  # scalar: (1 - alpha) term
+    vcp_l1: jax.Array      # scalar: direct per-keypoint VCP error term
 
 
 class RefineResult(NamedTuple):
@@ -93,10 +94,19 @@ def deepvcp_loss(
     alpha: float = 0.5,
     inlier_ratio: float = 0.8,
     weights: Optional[jax.Array] = None,
+    vcp_weight: float = 0.0,
 ) -> RegistrationResult:
     """alpha * L1(y_true_in, y2) + (1 - alpha) * |mean(y2 - y_true_in)|
     (ref deepVCP_loss.py:105-121), evaluated on the trimmed inlier set with
     y2 the second-pass fit of the inliers.
+
+    `vcp_weight > 0` adds the DeepVCP paper's loss1 (its Eq. 5): the mean
+    per-keypoint L1 between the predicted VCP and the ground-truth
+    corresponding point. The reference implementation only supervises the
+    rigid FIT of the VCPs (y2 = R2 x + t2), so per-point correspondence
+    errors that average out in the solve receive no gradient — the direct
+    term is a far stronger training signal for the CPG logits. Default 0
+    keeps exact reference-loss semantics.
 
     Args:
         x: [B, N, 3] source keypoints.
@@ -108,7 +118,9 @@ def deepvcp_loss(
     y_true_in = apply_rigid(ref.x_in, R_true, t_true)
     l1 = jnp.mean(jnp.abs(y_true_in - y2))
     mean_res = jnp.abs(jnp.mean(y2 - y_true_in))
-    loss = alpha * l1 + (1.0 - alpha) * mean_res
+    vcp_l1 = jnp.mean(jnp.abs(apply_rigid(x, R_true, t_true) - y_pred))
+    loss = alpha * l1 + (1.0 - alpha) * mean_res + vcp_weight * vcp_l1
     return RegistrationResult(
-        loss=loss, R=ref.R, t=ref.t, l1=l1, mean_residual=mean_res
+        loss=loss, R=ref.R, t=ref.t, l1=l1, mean_residual=mean_res,
+        vcp_l1=vcp_l1,
     )

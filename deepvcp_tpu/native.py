@@ -50,6 +50,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.velodyne_load_downsample.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_uint64, _f32p,
     ]
+    lib.velodyne_read.restype = ctypes.c_int64
+    lib.velodyne_read.argtypes = [ctypes.c_char_p, _f32p, ctypes.c_int64]
     lib.knn_bruteforce.restype = None
     lib.knn_bruteforce.argtypes = [
         _f32p, ctypes.c_int64, _f32p, ctypes.c_int64, ctypes.c_int64,
@@ -75,6 +77,23 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return _load() is not None
+
+
+def velodyne_load(path: str) -> np.ndarray:
+    """Raw [N, 4] float32 scan (x, y, z, reflectance), read natively when
+    the library is available — bit-identical to the numpy
+    read_velodyne_bin fallback (tested byte-for-byte,
+    tests/test_native.py)."""
+    lib = _load()
+    if lib is not None:
+        n = lib.velodyne_num_points(path.encode())
+        if n >= 0:
+            out = np.empty((n, 4), np.float32)
+            if lib.velodyne_read(path.encode(), out, n) == n:
+                return out
+    from deepvcp_tpu.data.datasets import read_velodyne_bin
+
+    return read_velodyne_bin(path)
 
 
 def velodyne_load_downsample(

@@ -125,6 +125,28 @@ def slab_occupancy_stats(xyz, radius: float, axis: int = 0) -> dict:
     }
 
 
+def _window_d2(
+    cloud: SortedCloud, query_xyz: jax.Array, cand_idx: jax.Array
+) -> jax.Array:
+    """Squared distance of each window candidate to its query, via THREE
+    per-coordinate [B, S, W] gathers instead of one [B, S, W, 3] gather.
+
+    TPU layout constraint: a gather output inherits the operand's minor
+    dim, and a minor dim of 3 is padded to the 128-lane tile — a 42x HBM
+    blowup that OOM'd the windowed train step at N=10k (the three SA
+    window gathers alone wanted 22 GB of a 16 GB chip). Per-coordinate
+    gathers keep W on the minor axis and tile perfectly."""
+    B = cand_idx.shape[0]
+    flat = cand_idx.reshape(B, -1)
+    d2 = None
+    for c in range(3):
+        col = jnp.take_along_axis(cloud.xyz[..., c], flat, axis=-1)
+        col = col.reshape(cand_idx.shape)                      # [B, S, W]
+        dc = jnp.square(col - query_xyz[..., c][..., None])
+        d2 = dc if d2 is None else d2 + dc
+    return d2
+
+
 def _window_candidates(
     cloud: SortedCloud, query_xyz: jax.Array, radius: float, window: int
 ) -> Tuple[jax.Array, jax.Array]:
@@ -140,9 +162,7 @@ def _window_candidates(
     lo = jnp.minimum(lo, jnp.maximum(N - window, 0))
     cand_idx = lo[..., None] + jnp.arange(window, dtype=jnp.int32)
     cand_idx = jnp.minimum(cand_idx, N - 1)                     # [B, S, W]
-    cand_xyz = _gather_points(cloud.xyz, cand_idx)
-    d2 = jnp.sum(jnp.square(cand_xyz - query_xyz[..., None, :]), axis=-1)
-    in_radius = d2 <= radius * radius
+    in_radius = _window_d2(cloud, query_xyz, cand_idx) <= radius * radius
     return cand_idx, in_radius
 
 
@@ -226,8 +246,7 @@ def windowed_knn(
     lo = jnp.clip(center - window // 2, 0, jnp.maximum(N - window, 0))
     cand_idx = lo[..., None] + jnp.arange(window, dtype=jnp.int32)
     cand_idx = jnp.minimum(cand_idx, N - 1)
-    cand_xyz = _gather_points(cloud.xyz, cand_idx)
-    d2 = jnp.sum(jnp.square(cand_xyz - query_xyz[..., None, :]), axis=-1)
+    d2 = _window_d2(cloud, query_xyz, cand_idx)
     neg, pos = jax.lax.top_k(-d2, k)
     idx = jnp.take_along_axis(cand_idx, pos, axis=-1)
     return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx

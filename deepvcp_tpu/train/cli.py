@@ -96,9 +96,8 @@ def make_dataset(args, model_cfg: DeepVCPConfig, split: str):
     if args.dataset == "kitti":
         if not args.root:
             raise SystemExit("--root is required for kitti")
-        seqs = ("00", "01", "02") if split == "train" else ("03",)
         return KITTIDataset(
-            args.root, sequences=seqs, num_points=model_cfg.num_points
+            args.root, split=split, num_points=model_cfg.num_points
         )
     return SyntheticDataset(
         num_clouds=16 if split == "train" else 4,

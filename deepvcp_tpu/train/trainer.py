@@ -56,13 +56,28 @@ def create_train_state(
     variables = model.init(rng, src, tgt, R, jnp.zeros_like(t), train=False)
     params = _unfreeze(variables.get("params"))
     batch_stats = _unfreeze(variables.get("batch_stats", {}))
+    if cfg.lr_schedule == "cosine":
+        if cfg.total_steps <= 0:
+            raise ValueError("lr_schedule='cosine' requires total_steps > 0")
+        warmup = min(cfg.warmup_steps, max(cfg.total_steps // 10, 1))
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.learning_rate,
+            warmup_steps=warmup,
+            decay_steps=cfg.total_steps,
+            end_value=cfg.learning_rate * 0.01,
+        )
+    elif cfg.lr_schedule == "constant":
+        lr = cfg.learning_rate
+    else:
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
     if cfg.grad_clip_norm > 0:
         tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip_norm),
-            optax.adam(cfg.learning_rate),
+            optax.adam(lr),
         )
     else:
-        tx = optax.adam(cfg.learning_rate)
+        tx = optax.adam(lr)
     opt_state = tx.init(params)
     return (
         TrainState(
@@ -96,6 +111,7 @@ def build_train_step(model: DeepVCP, tx, cfg: TrainConfig):
         res = deepvcp_loss(
             kp, vcp, R_gt, t_gt, alpha=cfg.alpha,
             inlier_ratio=cfg.inlier_ratio, weights=weights,
+            vcp_weight=cfg.vcp_loss_weight,
         )
         return res.loss, (res, updates["batch_stats"])
 
@@ -109,6 +125,7 @@ def build_train_step(model: DeepVCP, tx, cfg: TrainConfig):
             "loss": loss,
             "l1": res.l1,
             "mean_residual": res.mean_residual,
+            "vcp_l1": res.vcp_l1,
             "rre_deg": jnp.mean(rotation_geodesic_deg(res.R, R_gt)),
             "rte": jnp.mean(translation_error(res.t, t_gt)),
             "grad_norm": optax.global_norm(grads),

@@ -296,3 +296,41 @@ class TestGtFreeEval:
         out = tr.evaluate(batch_iterator(ds, 2, epoch=0, seed=0))
         for key in ("rre_deg", "rte", "gt_free_rre_deg", "gt_free_rte"):
             assert key in out and np.isfinite(out[key]), (key, out)
+
+
+class TestKITTISplit:
+    @pytest.fixture
+    def multi_seq_root(self, tmp_path):
+        rng = np.random.default_rng(9)
+        for seq in ["00", "01", "02", "03"]:
+            vdir = tmp_path / "sequences" / seq / "velodyne"
+            vdir.mkdir(parents=True)
+            for i in range(10):
+                rng.uniform(-20, 20, (300, 4)).astype(np.float32).tofile(
+                    vdir / f"{i:06d}.bin"
+                )
+        return str(tmp_path)
+
+    def test_sequence_based_split(self, multi_seq_root):
+        train = KITTIDataset(multi_seq_root, split="train", num_points=64)
+        test = KITTIDataset(multi_seq_root, split="test", num_points=64)
+        full = KITTIDataset(multi_seq_root, split="all", num_points=64)
+        assert train.sequences == ("00", "01", "02")
+        assert test.sequences == ("03",)
+        assert len(train) == 30 and len(test) == 10 and len(full) == 40
+        assert not (set(train.files) & set(test.files))
+        assert set(train.files) | set(test.files) == set(full.files)
+
+    def test_single_sequence_scan_split(self, multi_seq_root):
+        train = KITTIDataset(
+            multi_seq_root, sequences=("02",), split="train", num_points=64
+        )
+        test = KITTIDataset(
+            multi_seq_root, sequences=("02",), split="test", num_points=64
+        )
+        assert len(train) == 8 and len(test) == 2
+        assert not (set(train.files) & set(test.files))
+
+    def test_bad_split_raises(self, multi_seq_root):
+        with pytest.raises(ValueError):
+            KITTIDataset(multi_seq_root, split="validation")

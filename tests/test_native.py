@@ -86,3 +86,44 @@ class TestMakePair:
         np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
         tgt2, R2, t2 = native.make_pair(src, seed=7)
         np.testing.assert_array_equal(tgt, tgt2)
+
+
+class TestNativeVsNumpyReaders:
+    """Round-trip the SAME .bin through the native C++ reader and the
+    numpy fallback (round-2 review: the two readers had never been
+    compared on a file)."""
+
+    def _write_scan(self, tmp_path, n=300, seed=0):
+        rng = np.random.default_rng(seed)
+        scan = rng.uniform(-50, 50, (n, 4)).astype(np.float32)
+        path = str(tmp_path / "scan.bin")
+        scan.tofile(path)
+        return path, scan
+
+    def test_raw_read_byte_for_byte(self, tmp_path):
+        from deepvcp_tpu.data.datasets import read_velodyne_bin
+
+        path, scan = self._write_scan(tmp_path)
+        got = native.velodyne_load(path)
+        want = read_velodyne_bin(path)
+        assert got.dtype == want.dtype == np.float32
+        np.testing.assert_array_equal(
+            got.view(np.uint32), want.view(np.uint32)
+        )
+        np.testing.assert_array_equal(got, scan)
+
+    def test_downsample_same_point_set_when_n_equals_total(self, tmp_path):
+        """At n == total both paths must return the full point set (the
+        native path may permute; compare sorted rows bitwise)."""
+        from deepvcp_tpu.data.datasets import read_velodyne_bin
+
+        path, scan = self._write_scan(tmp_path, n=200, seed=1)
+        got = native.velodyne_load_downsample(path, 200, seed=3)
+        want = read_velodyne_bin(path)[:, :3]
+
+        def canon(a):
+            a = np.ascontiguousarray(a.astype(np.float32))
+            v = a.view([("x", np.uint32), ("y", np.uint32), ("z", np.uint32)])
+            return np.sort(v, order=("x", "y", "z"), axis=0)
+
+        np.testing.assert_array_equal(canon(got), canon(want))
