@@ -140,6 +140,12 @@ class KITTIDataset:
                 cut = max(int(len(names) * 0.8), 1)
                 names = names[:cut] if split == "train" else names[cut:]
             self.files.extend(os.path.join(vdir, n) for n in names)
+        if not self.files:
+            raise ValueError(
+                f"KITTIDataset split={split!r} over sequences "
+                f"{self.sequences} selected zero scans (too few files for "
+                f"a scan-based split?)"
+            )
         self._cache: dict = {}
         self._downsample_rng = np.random.default_rng(seed)
         if eager:
@@ -225,7 +231,7 @@ def lidar_like_cloud(
     rng: np.random.Generator,
     num_points: int,
     max_range: float = 10.0,
-    min_range: float = 0.5,
+    min_range: Optional[float] = None,
     ground_fraction: float = 0.6,
     num_clusters: int = 12,
 ) -> np.ndarray:
@@ -242,15 +248,27 @@ def lidar_like_cloud(
     - the rest in `num_clusters` vertical structures (walls/cars) at
       log-uniform ranges with tight Gaussian spread.
 
+    Every length constant scales with `max_range` (min_range defaults to
+    max_range/20, a 20:1 range ratio), so the density-gradient shape is
+    preserved at any cloud scale — an earlier version had absolute
+    constants that degenerated at max_range <= 1 (review finding).
+
     Returns [num_points, 3] float64, roughly centered at the origin.
     """
+    if min_range is None:
+        min_range = max_range / 20.0
+    if not 0 < min_range < max_range:
+        raise ValueError(f"need 0 < min_range < max_range, got "
+                         f"{min_range}, {max_range}")
+    scale = max_range
     n_ground = int(num_points * ground_fraction)
     n_struct = num_points - n_ground
     # ground ring
     r = np.exp(rng.uniform(np.log(min_range), np.log(max_range), n_ground))
     az = rng.uniform(0.0, 2.0 * np.pi, n_ground)
     ground = np.stack(
-        [r * np.cos(az), r * np.sin(az), rng.normal(0.0, 0.05, n_ground)],
+        [r * np.cos(az), r * np.sin(az),
+         rng.normal(0.0, 0.005 * scale, n_ground)],
         axis=-1,
     )
     # vertical structures
@@ -262,12 +280,12 @@ def lidar_like_cloud(
         [
             centers_r * np.cos(centers_az),
             centers_r * np.sin(centers_az),
-            rng.uniform(0.0, 1.5, num_clusters),
+            rng.uniform(0.0, 0.15 * scale, num_clusters),
         ],
         axis=-1,
     )
     which = rng.integers(0, num_clusters, n_struct)
-    spread = rng.normal(0.0, 0.4, (n_struct, 3))
+    spread = rng.normal(0.0, 0.04 * scale, (n_struct, 3))
     struct = centers[which] + spread
     return np.concatenate([ground, struct], axis=0)
 

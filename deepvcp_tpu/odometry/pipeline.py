@@ -70,9 +70,12 @@ def register_sequence(
     has to absorb the per-frame *acceleration*. The data dependence makes
     this path sequential (batch_size is ignored).
 
-    With warm_start=False, frames are identity-initialized and pipelined
-    through Registrar.stream (depth `stream_depth`) — the high-throughput
-    mode for pre-aligned or small-motion sequences.
+    With warm_start=False, frames are identity-initialized, grouped into
+    `batch_size`-pair batches (the last batch padded to keep one compiled
+    shape), and pipelined through Registrar.stream (depth `stream_depth`)
+    — the high-throughput mode for pre-aligned or small-motion sequences.
+    The warm-start path is inherently sequential, so batch_size only
+    applies here.
 
     Returns relative poses (R_rel [F-1, 3, 3], t_rel [F-1, 3]) with
     x_{i+1} ~= R_rel[i] x_i + t_rel[i].
@@ -95,15 +98,26 @@ def register_sequence(
             t_out.append(t_prev)
         return np.stack(R_out), np.stack(t_out)
 
-    pairs = (
-        (jnp.asarray(scans[i : i + 1]), jnp.asarray(scans[i + 1 : i + 2]))
-        for i in range(F - 1)
-    )
+    src_idx = np.arange(F - 1)
+
+    def batches():
+        for start in range(0, F - 1, batch_size):
+            idx = src_idx[start : start + batch_size]
+            src, tgt = scans[idx], scans[idx + 1]
+            pad = batch_size - len(idx)
+            if pad:
+                src = np.concatenate([src, src[-1:].repeat(pad, axis=0)])
+                tgt = np.concatenate([tgt, tgt[-1:].repeat(pad, axis=0)])
+            yield jnp.asarray(src), jnp.asarray(tgt)
+
     R_out, t_out = [], []
-    for out in registrar.stream(pairs, depth=stream_depth):
-        R_out.append(np.asarray(out.R)[0])
-        t_out.append(np.asarray(out.t)[0])
-    return np.stack(R_out), np.stack(t_out)
+    n_left = F - 1
+    for out in registrar.stream(batches(), depth=stream_depth):
+        take = min(batch_size, n_left)
+        n_left -= take
+        R_out.append(np.asarray(out.R)[:take])
+        t_out.append(np.asarray(out.t)[:take])
+    return np.concatenate(R_out), np.concatenate(t_out)
 
 
 def run_odometry(

@@ -149,7 +149,7 @@ def group_neighbors(
     xyz: jax.Array,
     new_xyz: jax.Array,
     features: Optional[jax.Array] = None,
-    chunk: Optional[jax.Array] = None,
+    chunk: Optional[int] = None,
     return_count: bool = False,
 ):
     """Ball-query + gather + recenter (the core of `sample_and_group`).

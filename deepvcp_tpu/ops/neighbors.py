@@ -166,14 +166,6 @@ def _window_candidates(
     return cand_idx, in_radius
 
 
-def _gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
-    """points [B, N, C], idx [B, ...] -> [B, ..., C]."""
-    B, _, C = points.shape
-    flat = idx.reshape(B, -1)
-    out = jnp.take_along_axis(points, flat[..., None], axis=1)
-    return out.reshape(*idx.shape, C)
-
-
 def select_first_k(mask: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
     """Positions of the first k True entries per row, via cumsum + batched
     binary search on the monotone cumsum (no sort / top_k / scatter).

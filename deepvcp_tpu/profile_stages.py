@@ -1,12 +1,14 @@
 """Per-stage latency + FLOP/HBM roofline report of the registration pipeline.
 
 Capability parity with the reference's ad-hoc per-stage wall-clock prints
-(deepVCP.py:28-98), but measured properly: each stage is separately jitted,
-warmed up, synchronized via host fetch, and annotated with the compiler's
-cost analysis (FLOPs + HBM bytes accessed) against the chip's roofline —
-naming which stages are compute-, bandwidth-, or overhead-bound. This
-workload is gather/selection-bound by design, so raw MFU is expected to be
-low; the per-stage bound classification is the actionable output.
+(deepVCP.py:28-98), but measured properly: each stage is AOT-compiled ONCE
+(the same executable is timed and asked for the compiler's cost analysis —
+no jit/AOT double compile, which matters on the remote-compile TPU leg),
+warmed up, synchronized via host fetch, and scored against the chip's
+roofline (FLOPs + HBM bytes vs peaks) — naming which stages are compute-,
+bandwidth-, or overhead-bound. This workload is gather/selection-bound by
+design, so raw MFU is expected to be low; the per-stage bound
+classification is the actionable output.
 
     python -m deepvcp_tpu.profile_stages --num-points 10000 [--batch B] [--cpu]
 """
@@ -15,27 +17,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import time
 
 # v5e roofline (per chip): 197 TFLOP/s bf16 MXU peak (f32 ~ half), 819 GB/s
 # HBM. Used only for % columns; absolute numbers are reported alongside.
 PEAK_FLOPS = 197e12
 PEAK_BYTES = 819e9
-
-
-def stage_cost(jitted, *args):
-    """Compiler cost analysis {flops, bytes} for a jitted fn, or None."""
-    try:
-        ca = jitted.lower(*args).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        if not ca:
-            return None
-        return {
-            "flops": float(ca.get("flops", 0.0)),
-            "bytes": float(ca.get("bytes accessed", 0.0)),
-        }
-    except Exception:
-        return None
 
 
 def main(argv=None):
@@ -59,9 +46,8 @@ def main(argv=None):
     from deepvcp_tpu.loss.registration import svd_refine
     from deepvcp_tpu.models import DeepVCP, FeatureExtraction
     from deepvcp_tpu.models.layers import CPG, FeatEmbedding, WeightingLayer
-    from deepvcp_tpu.ops import index_points, voxelize
+    from deepvcp_tpu.ops import voxelize
     from deepvcp_tpu.ops.knn import approx_knn
-    from deepvcp_tpu.utils.profiling import StageTimer
 
     cfg = (
         DeepVCPConfig.tiny(args.num_points, use_normal=False)
@@ -84,81 +70,110 @@ def main(argv=None):
     )
     params = variables["params"]
     K, ns, C = cfg.num_keypoints, cfg.num_neighbors, cfg.num_candidates
+    F = cfg.feat_dim
 
     fe = FeatureExtraction(cfg, name="fe")
     wl = WeightingLayer(cfg.wl_mlp, name="wl")
     dfe = FeatEmbedding(cfg.dfe_mlp, activation=cfg.dfe_activation, name="dfe")
     cpg = CPG(cfg.cpg_channels, grid_size=cfg.grid_size, name="cpg")
 
-    f_fe = jax.jit(
-        lambda x: fe.apply({"params": params["fe"],
-                            "batch_stats": variables["batch_stats"].get("fe", {})},
-                           x, None, train=False)
+    # representative synthetic inputs per stage (values don't change TPU
+    # schedules; shapes/dtypes do)
+    feats = jnp.asarray(
+        rng.standard_normal((B, cfg.num_points, F)).astype(np.float32)
     )
-    f_wl = jax.jit(lambda f: wl.apply({"params": params["wl"]}, f))
-    f_knn = jax.jit(
-        lambda t_, q_: approx_knn(
-            t_, q_, ns, chunk=cfg.knn_query_chunk,
-            select_dtype=cfg.knn_select_dtype_effective,
-        )
+    kp = src[:, :K]
+    cand = voxelize(kp, cfg.search_radius, cfg.voxel_len)   # [B,K,C,3]
+    cand_flat = cand.reshape(B, K * C, 3)
+    src_cat = jnp.asarray(
+        rng.standard_normal((B, K, ns, 3 + F)).astype(np.float32)
     )
-    f_dfe = jax.jit(lambda x: dfe.apply({"params": params["dfe"]}, x))
-    f_cpg = jax.jit(
-        lambda s, t_, c: cpg.apply({"params": params["cpg"]}, s, t_, c)
+    tgt_cat = jnp.asarray(
+        rng.standard_normal((B, K, C, ns, 3 + F)).astype(np.float32)
     )
-    f_solve = jax.jit(lambda kp, vcp: svd_refine(kp, vcp)[:2])
+    src_desc = jnp.asarray(
+        rng.standard_normal((B, K, F)).astype(np.float32)
+    )
+    tgt_desc = jnp.asarray(
+        rng.standard_normal((B, K, C, F)).astype(np.float32)
+    )
+    vcp = kp + 0.1 * jnp.asarray(
+        rng.standard_normal((B, K, 3)).astype(np.float32)
+    )
 
-    stage_args = {}
+    stages = {
+        "fe(src)": (
+            lambda x: fe.apply(
+                {"params": params["fe"],
+                 "batch_stats": variables["batch_stats"].get("fe", {})},
+                x, None, train=False),
+            (src,),
+        ),
+        "fe(tgt)": (
+            lambda x: fe.apply(
+                {"params": params["fe"],
+                 "batch_stats": variables["batch_stats"].get("fe", {})},
+                x, None, train=False),
+            (tgt,),
+        ),
+        "weighting": (
+            lambda f: wl.apply({"params": params["wl"]}, f), (feats,)
+        ),
+        "candidate knn": (
+            lambda t_, q_: approx_knn(
+                t_, q_, ns, chunk=cfg.knn_query_chunk,
+                select_dtype=cfg.knn_select_dtype_effective,
+            ),
+            (tgt, cand_flat),
+        ),
+        "dfe(src)": (
+            lambda x: dfe.apply({"params": params["dfe"]}, x), (src_cat,)
+        ),
+        "dfe(tgt)": (
+            lambda x: dfe.apply({"params": params["dfe"]}, x), (tgt_cat,)
+        ),
+        "cpg": (
+            lambda s, t_, c: cpg.apply({"params": params["cpg"]}, s, t_, c),
+            (src_desc, tgt_desc, cand),
+        ),
+        "svd solve": (lambda x, y: svd_refine(x, y)[:2], (kp, vcp)),
+    }
 
-    def run_once(timer: StageTimer):
-        sf = timer.timeit("fe(src)", f_fe, src)
-        tf = timer.timeit("fe(tgt)", f_fe, tgt)
-        sal = timer.timeit("weighting", f_wl, sf)
-        _, kp_idx = jax.lax.top_k(sal, K)
-        kp = index_points(src, kp_idx)
-        cand = voxelize(kp, cfg.search_radius, cfg.voxel_len).reshape(B, K * C, 3)
-        d, i = timer.timeit("candidate knn", f_knn, tgt, cand)
-        tgt_cat = jnp.zeros((B, K, C, ns, 3 + cfg.feat_dim))
-        src_cat = jnp.zeros((B, K, ns, 3 + cfg.feat_dim))
-        sd = timer.timeit("dfe(src)", f_dfe, src_cat)
-        td = timer.timeit("dfe(tgt)", f_dfe, tgt_cat)
-        vcp, _ = timer.timeit(
-            "cpg", f_cpg, sd, td, cand.reshape(B, K, C, 3)
-        )
-        timer.timeit("svd solve", f_solve, kp, vcp)
-        stage_args.update({
-            "fe(src)": (f_fe, (src,)),
-            "fe(tgt)": (f_fe, (tgt,)),
-            "weighting": (f_wl, (sf,)),
-            "candidate knn": (f_knn, (tgt, cand)),
-            "dfe(src)": (f_dfe, (src_cat,)),
-            "dfe(tgt)": (f_dfe, (tgt_cat,)),
-            "cpg": (f_cpg, (sd, td, cand.reshape(B, K, C, 3))),
-            "svd solve": (f_solve, (kp, vcp)),
-        })
+    best = {}
+    costs = {}
+    for name, (fn, a) in stages.items():
+        compiled = jax.jit(fn).lower(*a).compile()
+        try:
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            if ca:
+                costs[name] = {
+                    "flops": float(ca.get("flops", 0.0)),
+                    "bytes": float(ca.get("bytes accessed", 0.0)),
+                }
+        except Exception:
+            pass
+        jax.block_until_ready(compiled(*a))  # warm-up
+        t_best = None
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(compiled(*a))
+            dt = time.perf_counter() - t0
+            t_best = dt if t_best is None else min(t_best, dt)
+        best[name] = t_best
 
-    # warm-up (compiles)
-    run_once(StageTimer())
-    best = None
-    for _ in range(args.iters):
-        t = StageTimer()
-        run_once(t)
-        if best is None or sum(t.as_dict().values()) < sum(best.as_dict().values()):
-            best = t
-    print(best.report())
-
-    # roofline: compiler cost analysis per stage vs chip peaks
+    total = sum(best.values())
+    lines = [f"{'stage':16s} {'ms':>8s} {'%':>6s} {'GFLOP':>9s} {'GB':>8s}"
+             f" {'TFLOP/s':>8s} {'GB/s':>7s} {'%flops':>7s} {'%bw':>6s}  bound"]
     table = {}
-    lines = [
-        f"{'stage':16s} {'ms':>8s} {'GFLOP':>9s} {'GB':>8s} {'TFLOP/s':>8s}"
-        f" {'GB/s':>7s} {'%flops':>7s} {'%bw':>6s}  bound"
-    ]
-    for name, (fn, a) in stage_args.items():
-        cost = stage_cost(fn, *a)
-        ms = best.as_dict().get(name, 0.0) * 1e3
-        if cost is None or ms <= 0:
+    for name, sec in best.items():
+        ms = sec * 1e3
+        pct = 100.0 * sec / total if total else 0.0
+        cost = costs.get(name)
+        if cost is None:
+            lines.append(f"{name:16s} {ms:8.2f} {pct:6.1f}")
             continue
-        sec = ms / 1e3
         tflops = cost["flops"] / sec / 1e12
         gbs = cost["bytes"] / sec / 1e9
         pf = 100.0 * cost["flops"] / sec / PEAK_FLOPS
@@ -169,7 +184,7 @@ def main(argv=None):
             else "overhead"
         )
         lines.append(
-            f"{name:16s} {ms:8.2f} {cost['flops']/1e9:9.2f}"
+            f"{name:16s} {ms:8.2f} {pct:6.1f} {cost['flops']/1e9:9.2f}"
             f" {cost['bytes']/1e9:8.3f} {tflops:8.2f} {gbs:7.1f}"
             f" {pf:7.2f} {pb:6.1f}  {bound}"
         )
@@ -181,10 +196,11 @@ def main(argv=None):
             "pct_peak_bw": round(pb, 2),
             "bound": bound,
         }
+    lines.append(f"{'total':16s} {total*1e3:8.2f}")
     print("\n".join(lines))
     print(json.dumps({
         "batch": B,
-        "stages_ms": {k: v * 1e3 for k, v in best.as_dict().items()},
+        "stages_ms": {k: v * 1e3 for k, v in best.items()},
         "roofline": table,
     }))
 

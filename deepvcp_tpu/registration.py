@@ -138,7 +138,14 @@ class Registrar:
                 continue
             occ = slab_occupancy_stats(xyz, layer.radius)
             if occ["max"] > w:
-                worst = max(worst, cfg.window_safety * occ["max"] / w)
+                # safety' such that window_for's expected*safety' covers
+                # the measured occupancy (scaling the CURRENT safety by
+                # occ/w under-estimates when w was floored at the
+                # 128 minimum — review finding)
+                expected = N * min(
+                    2.0 * layer.radius / max(cfg.spatial_extent, 1e-6), 1.0
+                )
+                worst = max(worst, occ["max"] / max(expected, 1e-6))
         if worst > 0:
             warnings.warn(
                 f"static neighbor windows under-cover this cloud's density "

@@ -176,8 +176,15 @@ def make_eval_step(model: DeepVCP, cfg: TrainConfig):
         kp, vcp, aux = model.apply(
             variables, src, tgt, R_gt, jnp.zeros_like(t_gt), train=False
         )
+        # SAME objective as training (incl. the vcp term and saliency
+        # weights) so train/eval losses are comparable; RRE/RTE are
+        # objective-independent (review finding)
         res = deepvcp_loss(
-            kp, vcp, R_gt, t_gt, alpha=cfg.alpha, inlier_ratio=cfg.inlier_ratio
+            kp, vcp, R_gt, t_gt, alpha=cfg.alpha,
+            inlier_ratio=cfg.inlier_ratio,
+            weights=(aux["keypoint_saliency"]
+                     if cfg.use_saliency_weights else None),
+            vcp_weight=cfg.vcp_loss_weight,
         )
         B = src.shape[0]
         eye = jnp.broadcast_to(jnp.eye(3, dtype=src.dtype), (B, 3, 3))
@@ -187,6 +194,7 @@ def make_eval_step(model: DeepVCP, cfg: TrainConfig):
         free = svd_refine(kp0, vcp0, cfg.inlier_ratio)
         return {
             "loss": res.loss,
+            "vcp_l1": res.vcp_l1,
             "rre_deg": jnp.mean(rotation_geodesic_deg(res.R, R_gt)),
             "rte": jnp.mean(translation_error(res.t, t_gt)),
             "gt_free_rre_deg": jnp.mean(
