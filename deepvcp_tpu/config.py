@@ -99,6 +99,41 @@ class DeepVCPConfig:
     # points; larger tiles -> fewer rolls -> faster compile, slightly wider
     # bands).
     band_tile: int = 256
+    # Defect D12 fix (SURVEY.md §2.12): the reference's candidate grid is
+    # ASYMMETRIC — per axis `arange(c - r - s/2, c + r, s)` spans
+    # [-r - s/2, r - s/2] (voxelize.py:62-71), so at the defaults
+    # (r=1, s=0.4) the 216 candidates average to -0.2 per axis. The CPG's
+    # softmax-centroid VCP therefore starts life biased by |(-.2,-.2,-.2)|
+    # = 0.35 toward the grid's low corner — measured as an RTE floor of
+    # ~0.4 in both round-3 training campaigns until the grid was centered.
+    # True -> offsets (j - (gs-1)/2) * s, symmetric around the warm-started
+    # keypoint (uniform softmax = zero bias). False -> reference parity.
+    centered_grid: bool = True
+    # Defect D13 fix (SURVEY.md §2.12): the reference builds the SOURCE
+    # DFE descriptor from neighbors among the 64 KEYPOINTS (deepVCP.py:54-56
+    # groups src_keypts against src_keypts: inter-keypoint spacings, ~cloud
+    # scale) but the TARGET descriptor from each candidate's 32-NN in the
+    # full 10k cloud (get_cat_feat_tgt.py:44-52: local-surface scale). The
+    # Siamese DFE then compares descriptors of structurally different
+    # neighborhoods, so the CPG cost volume never sharpens.
+    #   "cloud"     source neighbors = keypoint's num_neighbors-NN in the
+    #               full source cloud — symmetric with the target branch
+    #               (the paper's construction);
+    #   "keypoints" reference parity.
+    dfe_src_neighbors: str = "cloud"
+    # Defect D14 fix (SURVEY.md §2.12): the Siamese DFE comparison is
+    # rotation-VARIANT — the target candidate's local neighborhood differs
+    # from the source keypoint's by exactly the relative rotation, so with
+    # the reference's full-SO(3) training pairs (ModelNet40Dataset.py:60-75)
+    # the cost volume must match descriptors across arbitrary rotations and
+    # never sharpens. The warm-start rotation already estimates that
+    # rotation (it IS ground truth during training, train.py:104-105), so
+    # rotating the target local coordinates by R_init^T canonicalizes both
+    # branches into the source frame: under GT-init training the true
+    # candidate's derotated neighborhood matches the keypoint's exactly.
+    # Identity-init inference is unaffected (derotation by I); iterative
+    # refinement (Registrar refine_iters) supplies the estimate there.
+    derotate_tgt_neighborhoods: bool = True
     # Use the Pallas banded-masked-max kernel for SA pooling on TPU
     # (ops/pallas/band_max_kernel.py): exact dynamic slab bounds (a
     # cap-free superset of the static band) in both the forward and the

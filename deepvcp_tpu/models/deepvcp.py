@@ -15,7 +15,15 @@ Reference defects fixed here (SURVEY.md §2.12 "Known defects"):
         keypoint-local indices);
     D9  candidate-KNN feature weights are per-neighbor d_j/sum(d)
         (get_cat_feat_tgt.py:65 broadcasts distances across the channel
-        axis instead).
+        axis instead);
+    D12 the candidate grid is centered (cfg.centered_grid; the reference's
+        grid averages to -s/2 per axis, voxelize.py:62-71, biasing the
+        softmax-centroid VCP by ~0.35 at the defaults);
+    D13 source DFE neighborhoods come from the full source cloud
+        (cfg.dfe_src_neighbors="cloud"), symmetric with the target branch,
+        instead of the reference's neighbors-among-keypoints
+        (deepVCP.py:54-56) that feed the Siamese DFE structurally
+        incomparable inputs.
 """
 
 from __future__ import annotations
@@ -96,18 +104,39 @@ class DeepVCP(nn.Module):
         kp_xyz = index_points(src_xyz, kp_idx)             # [B,K,3]
         kp_feat = index_points(src_feat, kp_idx)           # [B,K,F]
 
-        # group keypoints among themselves (ref deepVCP.py:54-56)
-        _, local_xyz, nb_idx, nb_count = group_neighbors(
-            cfg.group_radius, ns, kp_xyz, kp_xyz, features=None,
-            return_count=True,
-        )                                                  # [B,K,ns,3], [B,K,ns]
-        # zero-hit mask: self-inclusion makes count >= 1 here, but the
-        # gathered features must never ride an unmasked clamped index
-        # (review finding — masking is free, the garbage is not)
-        nb_feat = jnp.where(
-            (nb_count > 0)[..., None, None],
-            index_points(kp_feat, nb_idx), 0.0,
-        )                                                  # [B,K,ns,F] (D8)
+        if cfg.dfe_src_neighbors == "cloud":
+            # D13 fix: source descriptors from the keypoint's ns-NN in the
+            # FULL source cloud — the same construction the target branch
+            # applies to each candidate, so the Siamese DFE compares
+            # like-for-like neighborhoods. K*ns queries are tiny (one
+            # [K, N] distance tile); zero-hit masking is unnecessary (a
+            # k-NN query always returns k real points).
+            if cfg.neighbor_method in ("windowed", "banded"):
+                _, nb_idx = approx_knn(
+                    src_xyz, kp_xyz, ns,
+                    select_dtype=cfg.knn_select_dtype_effective,
+                )
+            else:
+                _, nb_idx = knn(src_xyz, kp_xyz, ns)
+            snb = index_points(
+                jnp.concatenate([src_xyz, src_feat], axis=-1), nb_idx
+            )                                              # [B,K,ns,3+F]
+            local_xyz = snb[..., :3] - kp_xyz[:, :, None, :]
+            nb_feat = snb[..., 3:]
+        else:
+            # reference parity: group keypoints among themselves
+            # (ref deepVCP.py:54-56)
+            _, local_xyz, nb_idx, nb_count = group_neighbors(
+                cfg.group_radius, ns, kp_xyz, kp_xyz, features=None,
+                return_count=True,
+            )                                              # [B,K,ns,3], [B,K,ns]
+            # zero-hit mask: self-inclusion makes count >= 1 here, but the
+            # gathered features must never ride an unmasked clamped index
+            # (review finding — masking is free, the garbage is not)
+            nb_feat = jnp.where(
+                (nb_count > 0)[..., None, None],
+                index_points(kp_feat, nb_idx), 0.0,
+            )                                              # [B,K,ns,F] (D8)
 
         # distance-normalized feature weighting + local coords
         # (ref get_cat_feat_src.py:35-53)
@@ -122,7 +151,10 @@ class DeepVCP(nn.Module):
 
         # warm-start transform + voxel candidate grid (D3: t applied)
         kp_warm = apply_rigid(kp_xyz, R_init, t_init)
-        candidates = voxelize(kp_warm, cfg.search_radius, cfg.voxel_len)
+        candidates = voxelize(
+            kp_warm, cfg.search_radius, cfg.voxel_len,
+            centered=cfg.centered_grid,
+        )
         cand_flat = candidates.reshape(B, K * C, 3)
 
         # candidate KNN grouping against the target cloud — the reference's
@@ -150,6 +182,12 @@ class DeepVCP(nn.Module):
         )                                                  # [B,KC,ns,3+F]
         tnb_xyz, tnb_feat = tnb[..., :3], tnb[..., 3:]
         local_t = tnb_xyz - cand_flat[:, :, None, :]
+        if cfg.derotate_tgt_neighborhoods:
+            # D14 fix: canonicalize target neighborhoods into the source
+            # frame via the warm-start rotation (row-vector form of
+            # R_init^T @ v); distances are unchanged, so the weighting
+            # below is identical either way.
+            local_t = jnp.einsum("bqnj,bji->bqni", local_t, R_init)
         # recompute distances from the gathered coordinates: identical
         # values, and the gradient path through the distance weights stays
         # a plain norm instead of routing through approx_min_k

@@ -41,24 +41,40 @@ class Registrar:
         variables: Any,
         inlier_ratio: float = 0.8,
         use_saliency_weights: bool = False,
+        refine_iters: int = 1,
     ):
+        """refine_iters > 1 re-runs the network with the previous
+        iteration's solved pose as the warm start (all iterations inside
+        one jitted call). The network trains with a ground-truth warm
+        start (ref train.py:104-105), so its accuracy is best when the
+        init is near the answer; iterating moves inference onto that
+        training distribution — pass 1 gets the pose roughly right, pass
+        2+ sees a near-truth init and solves the residual. The candidate
+        grid only reaches search_radius + voxel_len/2 around the init, so
+        this also extends the basin of attraction for large motions."""
         self.cfg = cfg
         self.model = DeepVCP(cfg=cfg)
         self.variables = variables
         self.inlier_ratio = inlier_ratio
         self.use_saliency_weights = use_saliency_weights
+        if refine_iters < 1:
+            raise ValueError(f"refine_iters must be >= 1, got {refine_iters}")
+        self.refine_iters = refine_iters
 
         def _register(variables, src, tgt, R_init, t_init):
-            kp, vcp, aux = self.model.apply(
-                variables, src, tgt, R_init, t_init, train=False
-            )
-            weights = (
-                aux["keypoint_saliency"] if use_saliency_weights else None
-            )
-            ref = svd_refine(kp, vcp, inlier_ratio, weights)
+            R_cur, t_cur = R_init, t_init
+            for _ in range(refine_iters):
+                kp, vcp, aux = self.model.apply(
+                    variables, src, tgt, R_cur, t_cur, train=False
+                )
+                weights = (
+                    aux["keypoint_saliency"] if use_saliency_weights else None
+                )
+                ref = svd_refine(kp, vcp, inlier_ratio, weights)
+                R_cur, t_cur = ref.R, ref.t
             return RegistrationOutput(
-                R=ref.R,
-                t=ref.t,
+                R=R_cur,
+                t=t_cur,
                 keypoints=kp,
                 vcps=vcp,
                 inlier_idx=ref.inlier_idx,

@@ -182,6 +182,45 @@ class TestRegistrar:
         dets = np.linalg.det(np.asarray(out.R))
         np.testing.assert_allclose(dets, 1.0, atol=1e-4)
 
+    def test_refine_iters_composes(self):
+        """refine_iters=2 must run the model a second time warm-started
+        with pass 1's pose: its output differs from pass 1 and stays a
+        proper rigid transform. (Accuracy evidence lives in the training
+        campaign; this pins the mechanics.)"""
+        from deepvcp_tpu.registration import Registrar
+        from deepvcp_tpu.models import DeepVCP
+        import jax
+
+        cfg = DeepVCPConfig.tiny(num_points=64, use_normal=False)
+        model = DeepVCP(cfg=cfg)
+        ds = SyntheticDataset(num_clouds=2, num_points=64, extent=2.0)
+        src, tgt, R, t = next(batch_iterator(ds, 2, epoch=0, seed=3))
+        variables = model.init(
+            jax.random.key(0),
+            jnp.asarray(src), jnp.asarray(tgt),
+            jnp.asarray(R), jnp.asarray(t),
+        )
+        with pytest.raises(ValueError):
+            Registrar(cfg, variables, refine_iters=0)
+        reg1 = Registrar(cfg, variables, refine_iters=1)
+        reg2 = Registrar(cfg, variables, refine_iters=2)
+        out1 = reg1(jnp.asarray(src), jnp.asarray(tgt))
+        out2 = reg2(jnp.asarray(src), jnp.asarray(tgt))
+        np.testing.assert_allclose(
+            np.linalg.det(np.asarray(out2.R)), 1.0, atol=1e-4
+        )
+        assert not np.allclose(np.asarray(out1.R), np.asarray(out2.R))
+        # pass 2 == manually feeding pass 1's pose back as the init
+        manual = reg1(
+            jnp.asarray(src), jnp.asarray(tgt), out1.R, out1.t
+        )
+        np.testing.assert_allclose(
+            np.asarray(out2.R), np.asarray(manual.R), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out2.t), np.asarray(manual.t), atol=1e-5
+        )
+
     def test_extent_mismatch_warns(self):
         """Feeding clouds far larger than cfg.spatial_extent must warn: the
         bf16-selection gate and window sizing key off the DECLARED extent,

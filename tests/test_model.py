@@ -182,3 +182,165 @@ class TestNeighborMethods:
         assert vcp.shape == (1, cfg.num_keypoints, 3)
         assert np.isfinite(np.asarray(kp)).all()
         assert np.isfinite(np.asarray(vcp)).all()
+
+
+class TestDefectFixFlags:
+    """D12 (centered grid) and D13 (cloud-based source DFE neighborhoods)
+    are config-gated; both parity modes must run, and the flags must
+    actually change the computation."""
+
+    def _run(self, **overrides):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            DeepVCPConfig.tiny(num_points=96, use_normal=False), **overrides
+        )
+        model = DeepVCP(cfg=cfg)
+        rng = np.random.default_rng(3)
+        src = jnp.asarray(rng.uniform(-2, 2, (1, 96, 3)).astype(np.float32))
+        tgt = jnp.asarray(rng.uniform(-2, 2, (1, 96, 3)).astype(np.float32))
+        R = jnp.eye(3, dtype=jnp.float32)[None]
+        t = jnp.zeros((1, 3), jnp.float32)
+        variables = model.init(jax.random.key(5), src, tgt, R, t, train=False)
+        kp, vcp, aux = model.apply(variables, src, tgt, R, t, train=False)
+        return np.asarray(kp), np.asarray(vcp)
+
+    @pytest.mark.parametrize("mode", ["cloud", "keypoints"])
+    def test_src_neighbor_modes_run(self, mode):
+        kp, vcp = self._run(dfe_src_neighbors=mode)
+        assert np.isfinite(vcp).all()
+
+    def test_src_neighbor_modes_differ(self):
+        _, vcp_cloud = self._run(dfe_src_neighbors="cloud")
+        _, vcp_kp = self._run(dfe_src_neighbors="keypoints")
+        assert not np.allclose(vcp_cloud, vcp_kp)
+
+    @pytest.mark.parametrize("centered,bias", [(True, 0.0), (False, -0.2)])
+    def test_uniform_softmax_vcp_bias(self, centered, bias):
+        """With the CPG convs zeroed the softmax is exactly uniform and the
+        VCP is the candidate-grid mean: kp_warm + 0 under the D12 fix,
+        kp_warm - voxel_len/2 per axis under reference parity — the
+        structural bias the fix removes."""
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            DeepVCPConfig.tiny(num_points=96, use_normal=False),
+            centered_grid=centered,
+        )
+        model = DeepVCP(cfg=cfg)
+        rng = np.random.default_rng(3)
+        src = jnp.asarray(rng.uniform(-2, 2, (1, 96, 3)).astype(np.float32))
+        R = jnp.eye(3, dtype=jnp.float32)[None]
+        t = jnp.zeros((1, 3), jnp.float32)
+        variables = model.init(jax.random.key(5), src, src, R, t, train=False)
+        variables = jax.tree_util.tree_map_with_path(
+            lambda path, x: (
+                jnp.zeros_like(x)
+                if any(getattr(p, "key", None) == "cpg" for p in path)
+                else x
+            ),
+            variables,
+        )
+        kp, vcp, _ = model.apply(variables, src, src, R, t, train=False)
+        shift = np.asarray(vcp) - np.asarray(kp)  # identity warm start
+        np.testing.assert_allclose(
+            shift, np.broadcast_to(bias * np.ones(3), shift.shape), atol=1e-5
+        )
+
+
+class TestOracleRegistration:
+    def test_pure_translation_recovered_without_training(self):
+        """End-to-end architectural oracle for D12+D13: under a pure
+        translation (FE features are translation-invariant by construction
+        — every SA stage sees only local differences) with a GT warm start
+        and a centered grid that contains the true offset (odd grid), the
+        source keypoint's DFE input and the true candidate's DFE input are
+        IDENTICAL up to neighbor order, which the max-pool erases. Hand-set
+        CPG convs (logits = -beta * sum-of-cost) then make the softmax peak
+        at the true candidate, so the untrained pipeline must recover the
+        translation. The reference architecture fails this structurally:
+        its source neighborhoods come from keypoints-only grouping (D13)
+        and its grid average is biased (D12)."""
+        import dataclasses
+
+        import flax
+
+        cfg = dataclasses.replace(
+            DeepVCPConfig.tiny(num_points=96, use_normal=False),
+            neighbor_method="dense",
+            # odd centered grid (gs=3): contains the exact center candidate
+            search_radius=0.4,
+            voxel_len=0.4,
+            use_batchnorm=False,  # BN statistics are not per-branch-equal
+        )
+        assert cfg.grid_size % 2 == 1
+        model = DeepVCP(cfg=cfg)
+        rng = np.random.default_rng(7)
+        src = jnp.asarray(rng.uniform(-2, 2, (1, 96, 3)).astype(np.float32))
+        t_true = jnp.asarray(np.array([[0.31, -0.22, 0.17]], np.float32))
+        R_true = jnp.eye(3, dtype=jnp.float32)[None]
+        tgt = src + t_true[:, None, :]
+
+        variables = model.init(
+            jax.random.key(11), src, tgt, R_true, t_true, train=False
+        )
+        params = flax.core.unfreeze(variables["params"])
+        cpg = params["cpg"]
+        beta = 100.0
+        for li, name in enumerate(sorted(cpg.keys())):
+            k = np.zeros(cpg[name]["kernel"].shape, np.float32)
+            scale = -1.0 if li == 0 else (beta if li == 2 else 1.0)
+            k[1, 1, 1, :, :] = scale
+            cpg[name]["kernel"] = jnp.asarray(k)
+            cpg[name]["bias"] = jnp.zeros_like(cpg[name]["bias"])
+        variables = {**variables, "params": flax.core.freeze(params)}
+
+        kp, vcp, aux = model.apply(
+            variables, src, tgt, R_true, t_true, train=False
+        )
+        err = np.abs(np.asarray(vcp) - (np.asarray(kp) + np.asarray(t_true)[:, None, :]))
+        assert err.max() < 5e-3, f"VCP error {err.max()} — oracle broken"
+
+        from deepvcp_tpu.loss import svd_refine
+
+        ref = svd_refine(kp, vcp)
+        np.testing.assert_allclose(
+            np.asarray(ref.t), np.asarray(t_true), atol=5e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref.R), np.eye(3)[None], atol=5e-3
+        )
+
+    def test_derotation_mechanics(self):
+        """D14: derotation is a no-op at identity init and changes the
+        forward under a rotated init."""
+        import dataclasses
+
+        base = DeepVCPConfig.tiny(num_points=96, use_normal=False)
+        rng = np.random.default_rng(9)
+        src = jnp.asarray(rng.uniform(-2, 2, (1, 96, 3)).astype(np.float32))
+        tgt = jnp.asarray(rng.uniform(-2, 2, (1, 96, 3)).astype(np.float32))
+        eye = jnp.eye(3, dtype=jnp.float32)[None]
+        t0 = jnp.zeros((1, 3), jnp.float32)
+        from deepvcp_tpu.utils import random_rotation
+
+        Rr = jnp.asarray(
+            np.asarray(random_rotation(np.random.default_rng(4)))[None]
+            .astype(np.float32)
+        )
+        outs = {}
+        for flag in (True, False):
+            cfg = dataclasses.replace(base, derotate_tgt_neighborhoods=flag)
+            model = DeepVCP(cfg=cfg)
+            variables = model.init(
+                jax.random.key(2), src, tgt, eye, t0, train=False
+            )
+            _, vcp_id, _ = model.apply(
+                variables, src, tgt, eye, t0, train=False
+            )
+            _, vcp_rot, _ = model.apply(
+                variables, src, tgt, Rr, t0, train=False
+            )
+            outs[flag] = (np.asarray(vcp_id), np.asarray(vcp_rot))
+        np.testing.assert_allclose(outs[True][0], outs[False][0], atol=1e-6)
+        assert not np.allclose(outs[True][1], outs[False][1])

@@ -198,6 +198,20 @@ class TestVoxelize:
         want = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1).reshape(-1, 3)
         np.testing.assert_allclose(offs, want, atol=1e-6)
 
+    def test_centered_grid_is_symmetric(self):
+        # D12 fix: centered offsets have zero mean and mirror symmetry;
+        # the reference grid (centered=False) averages to -s/2 per axis
+        r, s = 1.0, 0.4
+        offs = np.asarray(ops.candidate_offsets(r, s, centered=True))
+        assert offs.shape == (216, 3)
+        np.testing.assert_allclose(offs.mean(axis=0), 0.0, atol=1e-6)
+        flipped = -offs
+        got = set(map(tuple, np.round(offs, 5)))
+        want = set(map(tuple, np.round(flipped, 5)))
+        assert got == want
+        ref = np.asarray(ops.candidate_offsets(r, s, centered=False))
+        np.testing.assert_allclose(ref.mean(axis=0), -s / 2, atol=1e-6)
+
     def test_broadcast_add(self):
         pts = _rand((2, 5, 3), 15)
         out = np.asarray(ops.voxelize(jnp.asarray(pts), 1.0, 0.4))
