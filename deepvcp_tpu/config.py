@@ -165,8 +165,24 @@ class DeepVCPConfig:
         return self.grid_size ** 3
 
     def resolve(self) -> "DeepVCPConfig":
-        """Replace npoint=-1 sentinels with num_points; validate the banded
-        engine's geometry assumption."""
+        """Replace npoint=-1 sentinels with num_points; validate enum-like
+        string fields and the banded engine's geometry assumption."""
+        # Enum-string validation (review finding): every consumer of these
+        # fields branches with `== "..."` / `in (...)`, so a typo'd value
+        # ("Cloud", "window") would silently select the fallback branch —
+        # for dfe_src_neighbors that fallback is the DEFECTIVE
+        # reference-parity path the "cloud" mode exists to fix.
+        if self.neighbor_method not in ("banded", "windowed", "dense"):
+            raise ValueError(
+                f"neighbor_method must be one of 'banded'/'windowed'/'dense'"
+                f", got {self.neighbor_method!r}"
+            )
+        if self.dfe_src_neighbors not in ("cloud", "keypoints"):
+            raise ValueError(
+                f"dfe_src_neighbors must be 'cloud' (D13 fix) or "
+                f"'keypoints' (reference parity), got "
+                f"{self.dfe_src_neighbors!r}"
+            )
         if self.neighbor_method == "banded":
             rmax = max(l.radius for l in self.sa_layers)
             if 2.0 * rmax >= self.spatial_extent:

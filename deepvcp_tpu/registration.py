@@ -50,8 +50,16 @@ class Registrar:
         init is near the answer; iterating moves inference onto that
         training distribution — pass 1 gets the pose roughly right, pass
         2+ sees a near-truth init and solves the residual. The candidate
-        grid only reaches search_radius + voxel_len/2 around the init, so
-        this also extends the basin of attraction for large motions."""
+        grid only reaches +/-search_radius around the init (the centered
+        default; the reference's asymmetric grid reaches search_radius +
+        voxel_len/2 on the negative side only, defect D12), so this also
+        extends the basin of attraction for large motions.
+
+        Cost note: the loop is unrolled into one jitted graph, so traced
+        HLO (and compile time) grows ~linearly with refine_iters; the
+        pose-independent prefix (both FE passes, keypoint selection) is
+        re-emitted per iteration and deduped by XLA CSE, not by us. Keep
+        refine_iters small (1-3) on the remote-compile TPU leg."""
         self.cfg = cfg
         self.model = DeepVCP(cfg=cfg)
         self.variables = variables

@@ -239,6 +239,14 @@ class Trainer:
         }
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(path, ckpt, force=True)
+        # architecture provenance (review finding): the D12-D14 semantic
+        # flags change the forward WITHOUT changing parameter shapes, so a
+        # checkpoint trained under one setting restores cleanly into a
+        # model running another and silently degrades. Record the
+        # shape-compatible semantics-affecting fields next to the
+        # checkpoint; load_checkpoint warns on mismatch.
+        with open(path + ".arch.json", "w") as fh:
+            json.dump(self._arch_fingerprint(), fh)
         # resume marker for elastic restarts (SURVEY.md §5 failure
         # detection: the reference's closest capability is manual
         # --retrain_path, train.py:83-85). Only epoch-tagged saves update
@@ -271,9 +279,51 @@ class Trainer:
         )
         return info
 
+    def _arch_fingerprint(self) -> dict:
+        """The model-config fields that alter forward semantics while
+        keeping the parameter tree shape-compatible (everything else —
+        channel widths, layer counts — fails loudly at orbax restore)."""
+        c = self.model_cfg
+        return {
+            "centered_grid": c.centered_grid,
+            "dfe_src_neighbors": c.dfe_src_neighbors,
+            "derotate_tgt_neighborhoods": c.derotate_tgt_neighborhoods,
+            "group_radius": c.group_radius,
+            "search_radius": c.search_radius,
+            "voxel_len": c.voxel_len,
+        }
+
     def load_checkpoint(self, path: str) -> None:
+        import json
+        import warnings
+
         import orbax.checkpoint as ocp
 
+        arch_path = os.path.abspath(path) + ".arch.json"
+        if os.path.exists(arch_path):
+            with open(arch_path) as fh:
+                saved = json.load(fh)
+            cur = self._arch_fingerprint()
+            diff = {k: (saved.get(k), cur[k]) for k in cur
+                    if saved.get(k) != cur[k]}
+            if diff:
+                warnings.warn(
+                    f"checkpoint {path} was trained under different forward "
+                    f"semantics (saved vs current): {diff} — the parameter "
+                    f"shapes match but the weights will compute under a "
+                    f"mismatched architecture. Set the listed DeepVCPConfig "
+                    f"fields to the saved values to restore faithfully.",
+                    stacklevel=2,
+                )
+        else:
+            warnings.warn(
+                f"checkpoint {path} has no architecture provenance "
+                f"({os.path.basename(arch_path)} missing) — it may predate "
+                f"the D12-D14 semantic flags (centered_grid, "
+                f"dfe_src_neighbors, derotate_tgt_neighborhoods), whose "
+                f"current defaults differ from reference semantics.",
+                stacklevel=2,
+            )
         ckpt = {
             "params": self.state.params,
             "batch_stats": self.state.batch_stats,

@@ -147,6 +147,25 @@ class TestTrainer:
 
         assert norm(restored) == pytest.approx(norm(before), rel=1e-6)
 
+        # architecture provenance (review finding): the D12-D14 flags are
+        # shape-compatible, so a mismatched load succeeds silently at the
+        # orbax layer — the trainer must warn.
+        import dataclasses
+        import warnings as _warnings
+
+        mismatched = Trainer(
+            dataclasses.replace(model_cfg, centered_grid=False), train_cfg
+        )
+        mismatched.setup(sample)
+        with pytest.warns(UserWarning, match="different forward semantics"):
+            mismatched.load_checkpoint(path)
+        # missing provenance (pre-provenance checkpoint) also warns
+        import os
+
+        os.remove(path + ".arch.json")
+        with pytest.warns(UserWarning, match="no architecture provenance"):
+            trainer.load_checkpoint(path)
+
         # eval runs and logs metrics
         out = trainer.evaluate(batch_iterator(ds, 2, epoch=1, seed=1), 0)
         assert np.isfinite(out["loss"])
@@ -156,6 +175,25 @@ class TestTrainer:
             if l.strip()
         ]
         assert any(r["kind"] == "eval" for r in lines)
+
+
+class TestConfigValidation:
+    def test_enum_string_fields_validated(self):
+        """resolve() fails loudly on typo'd enum-strings (review finding:
+        a bad dfe_src_neighbors silently selected the defective
+        reference-parity branch)."""
+        import dataclasses
+
+        base = DeepVCPConfig.tiny(num_points=64, use_normal=False)
+        base.resolve()  # valid defaults pass
+        with pytest.raises(ValueError, match="dfe_src_neighbors"):
+            dataclasses.replace(base, dfe_src_neighbors="Cloud").resolve()
+        with pytest.raises(ValueError, match="neighbor_method"):
+            dataclasses.replace(base, neighbor_method="window").resolve()
+        with pytest.raises(ValueError, match="spatial_extent"):
+            dataclasses.replace(
+                base, neighbor_method="banded", spatial_extent=1.0
+            ).resolve()
 
 
 class TestRegistrar:

@@ -311,6 +311,81 @@ class TestOracleRegistration:
             np.asarray(ref.R), np.eye(3)[None], atol=5e-3
         )
 
+    def test_rotation_recovered_without_training(self):
+        """End-to-end architectural oracle for D14 that PINS the derotation
+        DIRECTION (review finding: test_derotation_mechanics only asserts
+        the output *differs* under a rotated init, and the translation
+        oracle uses R_true=I where a transposed einsum is also a no-op).
+
+        Construction: zero out the FE so features vanish (FE outputs are
+        rotation-VARIANT, so unlike the translation oracle they cannot be
+        relied on to match across branches); the DFE inputs then reduce to
+        pure local coordinates. With tgt = src @ R_true^T + t_true and a GT
+        warm start, the true (center) candidate's derotated neighborhood is
+        R_true^T R_true (nb - kp) = the source neighborhood exactly (up to
+        kNN order, which the DFE max-pool erases), so hand-set CPG convs
+        must recover the pose. If the einsum rotated by R_true instead of
+        R_true^T the sets would differ by R_true^2 and the oracle fails."""
+        import dataclasses
+
+        import flax
+
+        cfg = dataclasses.replace(
+            DeepVCPConfig.tiny(num_points=96, use_normal=False),
+            neighbor_method="dense",
+            search_radius=0.4,
+            voxel_len=0.4,
+            use_batchnorm=False,
+            dfe_src_neighbors="cloud",
+            derotate_tgt_neighborhoods=True,
+        )
+        assert cfg.grid_size % 2 == 1
+        model = DeepVCP(cfg=cfg)
+        rng = np.random.default_rng(13)
+        src = jnp.asarray(rng.uniform(-2, 2, (1, 96, 3)).astype(np.float32))
+        R_true = jnp.asarray(
+            np.asarray(random_rotation(rng))[None].astype(np.float32)
+        )
+        t_true = jnp.asarray(np.array([[0.31, -0.22, 0.17]], np.float32))
+        tgt = jnp.einsum("bnj,bij->bni", src, R_true) + t_true[:, None, :]
+
+        variables = model.init(
+            jax.random.key(11), src, tgt, R_true, t_true, train=False
+        )
+        params = flax.core.unfreeze(variables["params"])
+        # zero the FE: rotation-variant features out of the comparison
+        params["fe"] = jax.tree_util.tree_map(
+            jnp.zeros_like, params["fe"]
+        )
+        cpg = params["cpg"]
+        beta = 100.0
+        for li, name in enumerate(sorted(cpg.keys())):
+            k = np.zeros(cpg[name]["kernel"].shape, np.float32)
+            scale = -1.0 if li == 0 else (beta if li == 2 else 1.0)
+            k[1, 1, 1, :, :] = scale
+            cpg[name]["kernel"] = jnp.asarray(k)
+            cpg[name]["bias"] = jnp.zeros_like(cpg[name]["bias"])
+        variables = {**variables, "params": flax.core.freeze(params)}
+
+        kp, vcp, aux = model.apply(
+            variables, src, tgt, R_true, t_true, train=False
+        )
+        kp_true = np.einsum(
+            "bnj,bij->bni", np.asarray(kp), np.asarray(R_true)
+        ) + np.asarray(t_true)[:, None, :]
+        err = np.abs(np.asarray(vcp) - kp_true)
+        assert err.max() < 5e-3, f"VCP error {err.max()} — rotation oracle"
+
+        from deepvcp_tpu.loss import svd_refine
+
+        ref = svd_refine(kp, vcp)
+        np.testing.assert_allclose(
+            np.asarray(ref.R), np.asarray(R_true), atol=5e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref.t), np.asarray(t_true), atol=5e-3
+        )
+
     def test_derotation_mechanics(self):
         """D14: derotation is a no-op at identity init and changes the
         forward under a rotated init."""
