@@ -134,6 +134,19 @@ class DeepVCPConfig:
     # Identity-init inference is unaffected (derotation by I); iterative
     # refinement (Registrar refine_iters) supplies the estimate there.
     derotate_tgt_neighborhoods: bool = True
+    # Keypoint selection policy. The reference takes the top-K points by
+    # saliency (weighting_layer.py:31-33) — on density-gradient clouds
+    # (real velodyne) saliency is nearly uniform inside the dense core, so
+    # top-K clusters there and the pose solve loses its lever arm
+    # (measured on the round-3 lidar eval: keypoint RMS lever 0.25 vs
+    # cloud 0.40 -> 80+ deg rotation noise from ~0.1-scale VCP scatter).
+    #   "topk"        reference parity;
+    #   "salient_fps" farthest-point sampling over the top
+    #                 (keypoint_pool_mult*K) saliency pool — keeps only
+    #                 salient points but enforces spatial spread (the FPS
+    #                 kernel is ops/sampling.py, a lax.fori_loop on-chip).
+    keypoint_selection: str = "topk"
+    keypoint_pool_mult: int = 4
     # Use the Pallas banded-masked-max kernel for SA pooling on TPU
     # (ops/pallas/band_max_kernel.py): exact dynamic slab bounds (a
     # cap-free superset of the static band) in both the forward and the
@@ -176,6 +189,11 @@ class DeepVCPConfig:
             raise ValueError(
                 f"neighbor_method must be one of 'banded'/'windowed'/'dense'"
                 f", got {self.neighbor_method!r}"
+            )
+        if self.keypoint_selection not in ("topk", "salient_fps"):
+            raise ValueError(
+                f"keypoint_selection must be 'topk' (reference parity) or "
+                f"'salient_fps', got {self.keypoint_selection!r}"
             )
         if self.dfe_src_neighbors not in ("cloud", "keypoints"):
             raise ValueError(
@@ -250,6 +268,23 @@ class TrainConfig:
     # output only picks top-k indices, weighting_layer.py:31-33); with this
     # on, saliency flows into the loss and the layer actually trains.
     use_saliency_weights: bool = False
+    # --- warm-start distribution during training ---------------------------
+    # The reference trains with R_init = R_gt, t_init = 0 (train.py:104-105),
+    # so the network must span the full translation range with its candidate
+    # grid AND only ever sees EXACT rotation inits — measured consequence
+    # (round-3 campaign Q4): Registrar refinement DIVERGES (20->54->78 deg
+    # over 3 iters) because a slightly-wrong init is out of distribution.
+    # Training on a JITTERED ground-truth pose makes the network a residual
+    # contraction (each pass maps an init within the jitter ball closer to
+    # truth), which is what iterative refinement needs; pair it with a
+    # smaller search_radius/voxel_len for a lower soft-argmax floor.
+    #   init_translation: "zero" (reference parity) or "gt" (residual mode —
+    #     t_init = t_gt + U[-init_trans_jitter, +init_trans_jitter]^3).
+    #   init_rot_jitter_deg: R_init = dR @ R_gt, dR uniform-axis rotation
+    #     with angle U[0, init_rot_jitter_deg] (0 = exact, parity).
+    init_translation: str = "zero"
+    init_rot_jitter_deg: float = 0.0
+    init_trans_jitter: float = 0.0
     seed: int = 0
     checkpoint_dir: str = "checkpoints"
     checkpoint_every_epochs: int = 1

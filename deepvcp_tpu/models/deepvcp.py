@@ -43,6 +43,7 @@ from deepvcp_tpu.models.layers import (
 )
 from deepvcp_tpu.ops import (
     apply_rigid,
+    farthest_point_sample,
     group_neighbors,
     index_points,
     knn,
@@ -100,7 +101,19 @@ class DeepVCP(nn.Module):
         # --- source branch -------------------------------------------------
         src_feat = fe(src_xyz, src_nrm, train)            # [B,N,F]
         saliency = wl(src_feat)                            # [B,N]
-        kp_saliency, kp_idx = jax.lax.top_k(saliency, K)   # [B,K]
+        if cfg.keypoint_selection == "salient_fps":
+            # spread-enforcing selection: FPS over the top-(mult*K)
+            # saliency pool. On density-gradient clouds plain top-K
+            # clusters in the dense core and the pose solve loses its
+            # lever arm (see config.keypoint_selection).
+            P = min(cfg.keypoint_pool_mult * K, src_xyz.shape[1])
+            pool_sal, pool_idx = jax.lax.top_k(saliency, P)   # [B,P]
+            pool_xyz = index_points(src_xyz, pool_idx)        # [B,P,3]
+            sel = farthest_point_sample(pool_xyz, K)          # [B,K]
+            kp_idx = jnp.take_along_axis(pool_idx, sel, axis=1)
+            kp_saliency = jnp.take_along_axis(pool_sal, sel, axis=1)
+        else:  # "topk": reference parity (weighting_layer.py:31-33)
+            kp_saliency, kp_idx = jax.lax.top_k(saliency, K)  # [B,K]
         kp_xyz = index_points(src_xyz, kp_idx)             # [B,K,3]
         kp_feat = index_points(src_feat, kp_idx)           # [B,K,F]
 

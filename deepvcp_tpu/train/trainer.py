@@ -90,18 +90,55 @@ def create_train_state(
     )
 
 
+def _train_init_pose(cfg: TrainConfig, step, R_gt, t_gt):
+    """The warm-start pose fed to the model during training.
+
+    Reference parity (defaults): (R_gt, 0) — ref train.py:104-105.
+    Residual mode (init_translation="gt" and/or jitter > 0): a pose
+    sampled around ground truth, so the network learns to CONTRACT init
+    error instead of only ever seeing exact inits (see TrainConfig).
+    The key is derived from (seed, step): deterministic, resume-stable,
+    and traced-friendly (step is the on-device step counter)."""
+    if cfg.init_translation not in ("zero", "gt"):
+        raise ValueError(
+            f"init_translation must be 'zero' or 'gt', got "
+            f"{cfg.init_translation!r}"
+        )
+    B = t_gt.shape[0]
+    t_init = t_gt if cfg.init_translation == "gt" else jnp.zeros_like(t_gt)
+    if cfg.init_rot_jitter_deg <= 0 and cfg.init_trans_jitter <= 0:
+        return R_gt, t_init
+    from deepvcp_tpu.utils.rotations import random_small_rotation
+
+    key = jax.random.fold_in(jax.random.key(cfg.seed ^ 0x5EED), step)
+    k_rot, k_t = jax.random.split(key)
+    R_init = R_gt
+    if cfg.init_rot_jitter_deg > 0:
+        dR = random_small_rotation(
+            k_rot, B, jnp.radians(cfg.init_rot_jitter_deg)
+        ).astype(R_gt.dtype)
+        R_init = dR @ R_gt
+    if cfg.init_trans_jitter > 0:
+        t_init = t_init + jax.random.uniform(
+            k_t, t_gt.shape, t_gt.dtype,
+            minval=-cfg.init_trans_jitter, maxval=cfg.init_trans_jitter,
+        )
+    return R_init, t_init
+
+
 def build_train_step(model: DeepVCP, tx, cfg: TrainConfig):
     """The raw (unjitted) train step: state, src, tgt, R_gt, t_gt ->
     (new_state, metrics)."""
 
-    def loss_fn(params, batch_stats, src, tgt, R_gt, t_gt):
+    def loss_fn(params, batch_stats, src, tgt, R_gt, t_gt, step):
         variables = {"params": params, "batch_stats": batch_stats}
+        R_init, t_init = _train_init_pose(cfg, step, R_gt, t_gt)
         (kp, vcp, aux), updates = model.apply(
             variables,
             src,
             tgt,
-            R_gt,
-            jnp.zeros_like(t_gt),
+            R_init,
+            t_init,
             train=True,
             mutable=["batch_stats"],
         )
@@ -118,7 +155,7 @@ def build_train_step(model: DeepVCP, tx, cfg: TrainConfig):
     def train_step(state: TrainState, src, tgt, R_gt, t_gt):
         (loss, (res, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state.batch_stats, src, tgt, R_gt, t_gt)
+        )(state.params, state.batch_stats, src, tgt, R_gt, t_gt, state.step)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {
@@ -173,8 +210,13 @@ def make_eval_step(model: DeepVCP, cfg: TrainConfig):
 
     def eval_step(state: TrainState, src, tgt, R_gt, t_gt):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+        # warm init matches the training distribution's CENTER: (R_gt, 0)
+        # in reference-parity mode, (R_gt, t_gt) in residual mode (where
+        # the fine grid is not sized to span the full translation range)
+        t_warm = (t_gt if cfg.init_translation == "gt"
+                  else jnp.zeros_like(t_gt))
         kp, vcp, aux = model.apply(
-            variables, src, tgt, R_gt, jnp.zeros_like(t_gt), train=False
+            variables, src, tgt, R_gt, t_warm, train=False
         )
         # SAME objective as training (incl. the vcp term and saliency
         # weights) so train/eval losses are comparable; RRE/RTE are
@@ -286,6 +328,7 @@ class Trainer:
         c = self.model_cfg
         return {
             "centered_grid": c.centered_grid,
+            "keypoint_selection": c.keypoint_selection,
             "dfe_src_neighbors": c.dfe_src_neighbors,
             "derotate_tgt_neighborhoods": c.derotate_tgt_neighborhoods,
             "group_radius": c.group_radius,

@@ -98,3 +98,30 @@ def euler_error_deg(R_pred: jax.Array, R_true: jax.Array) -> jax.Array:
     """The reference's rotation-error metric: L2 norm of the difference of
     extrinsic-xyz Euler-angle vectors in degrees (train.py:113-119)."""
     return jnp.linalg.norm(euler_xyz_deg(R_pred) - euler_xyz_deg(R_true), axis=-1)
+
+
+def random_small_rotation(
+    key: jax.Array, batch: int, max_angle_rad: float
+) -> jax.Array:
+    """[batch, 3, 3] rotations with uniform random axis and angle
+    ~ U[0, max_angle_rad] — the warm-start jitter for residual-mode
+    training (TrainConfig.init_rot_jitter_deg). Traceable (pure jnp
+    Rodrigues), unlike the numpy samplers above."""
+    k_axis, k_ang = jax.random.split(key)
+    axis = jax.random.normal(k_axis, (batch, 3))
+    axis = axis / (jnp.linalg.norm(axis, axis=-1, keepdims=True) + 1e-12)
+    ang = jax.random.uniform(k_ang, (batch,), maxval=max_angle_rad)
+    zeros = jnp.zeros((batch,), axis.dtype)
+    kx, ky, kz = axis[:, 0], axis[:, 1], axis[:, 2]
+    K = jnp.stack(
+        [
+            jnp.stack([zeros, -kz, ky], axis=-1),
+            jnp.stack([kz, zeros, -kx], axis=-1),
+            jnp.stack([-ky, kx, zeros], axis=-1),
+        ],
+        axis=-2,
+    )                                                     # [B, 3, 3]
+    s = jnp.sin(ang)[:, None, None]
+    c = jnp.cos(ang)[:, None, None]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=axis.dtype), (batch, 3, 3))
+    return eye + s * K + (1.0 - c) * (K @ K)

@@ -248,6 +248,49 @@ class TestDefectFixFlags:
         )
 
 
+class TestKeypointSelection:
+    def test_salient_fps_spreads_keypoints(self):
+        """On a density-gradient cloud, salient_fps keypoints must have a
+        larger RMS lever arm than plain top-k (the round-3 lidar failure:
+        top-k clustered in the dense core, lever 0.25 vs cloud 0.40, and
+        per-keypoint VCP scatter became 80+ deg of rotation noise)."""
+        import dataclasses
+
+        base = DeepVCPConfig.tiny(num_points=128, use_normal=False)
+        rng = np.random.default_rng(3)
+        # 85% of points in a tight core, 15% spread wide
+        core = rng.uniform(-0.15, 0.15, (109, 3))
+        spread = rng.uniform(-2, 2, (19, 3))
+        cloud = jnp.asarray(
+            np.concatenate([core, spread]).astype(np.float32)
+        )[None]
+        eye = jnp.eye(3, dtype=jnp.float32)[None]
+        t0 = jnp.zeros((1, 3), jnp.float32)
+
+        levers = {}
+        for mode in ("topk", "salient_fps"):
+            cfg = dataclasses.replace(base, keypoint_selection=mode)
+            model = DeepVCP(cfg=cfg)
+            variables = model.init(
+                jax.random.key(0), cloud, cloud, eye, t0, train=False
+            )
+            kp, _, aux = jax.jit(
+                lambda v, s: model.apply(v, s, s, eye, t0, train=False)
+            )(variables, cloud)
+            k = np.asarray(kp)[0]
+            levers[mode] = float(
+                np.sqrt(((k - k.mean(0)) ** 2).sum(-1).mean())
+            )
+            assert kp.shape == (1, base.num_keypoints, 3)
+            # selected saliencies must come from the top pool
+            sal = np.asarray(aux["saliency"])[0]
+            kp_sal = np.asarray(aux["keypoint_saliency"])[0]
+            pool = np.sort(sal)[-base.keypoint_pool_mult
+                                * base.num_keypoints:]
+            assert kp_sal.min() >= pool.min() - 1e-6
+        assert levers["salient_fps"] > 1.5 * levers["topk"], levers
+
+
 class TestOracleRegistration:
     def test_pure_translation_recovered_without_training(self):
         """End-to-end architectural oracle for D12+D13: under a pure
