@@ -195,6 +195,14 @@ class DeepVCPConfig:
                 f"keypoint_selection must be 'topk' (reference parity) or "
                 f"'salient_fps', got {self.keypoint_selection!r}"
             )
+        if self.keypoint_pool_mult < 1:
+            # pool_mult=0 would make the salient_fps branch call
+            # top_k(k=0) and FPS over an empty pool with a confusing
+            # downstream error (round-3 advisor finding)
+            raise ValueError(
+                f"keypoint_pool_mult must be >= 1, got "
+                f"{self.keypoint_pool_mult}"
+            )
         if self.dfe_src_neighbors not in ("cloud", "keypoints"):
             raise ValueError(
                 f"dfe_src_neighbors must be 'cloud' (D13 fix) or "

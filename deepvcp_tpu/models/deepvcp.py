@@ -67,6 +67,34 @@ class DeepVCP(nn.Module):
 
     cfg: DeepVCPConfig
     axis_name: Optional[str] = None
+    # Optional ("data", "point") jax.sharding.Mesh: when set (and the
+    # point axis has > 1 devices that divide N and K*C), the candidate
+    # KNN — the one stage whose [chunk, N] distance tiles and [N, 3+F]
+    # gather sources would otherwise be materialized per device under
+    # plain GSPMD point sharding — runs as the ppermute ring
+    # (ops/distributed.ring_knn): each device only ever holds a
+    # [M/P, N/P] tile and one target-shard block, and the shard
+    # exchange rides the ICI ring. Exact KNN (a strict upgrade over
+    # approx_min_k recall 0.978). Shapes that don't divide the point
+    # axis (e.g. the B=1 flax init call) fall back to the single-chip
+    # engines below.
+    knn_mesh: Optional[object] = None
+
+    def _use_ring(self, n_ref: int, n_query: int, k: int) -> bool:
+        """Static (trace-time) gate for the ring candidate KNN: a point
+        mesh axis with > 1 devices that divides both clouds' shapes."""
+        if self.knn_mesh is None:
+            return False
+        from deepvcp_tpu.parallel.mesh import POINT_AXIS
+
+        shape = dict(self.knn_mesh.shape)
+        p = shape.get(POINT_AXIS, 1)
+        return (
+            p > 1
+            and n_ref % p == 0
+            and n_query % p == 0
+            and k <= n_ref // p
+        )
 
     @nn.compact
     def __call__(
@@ -176,7 +204,21 @@ class DeepVCP(nn.Module):
         # the k smallest without a sort (2.7 ms / recall 0.978 at the full
         # operating point on v5e, vs 129 ms exact top_k). "dense" keeps the
         # exact-KNN oracle semantics.
-        if cfg.neighbor_method in ("windowed", "banded"):
+        if self._use_ring(N, K * C, ns):
+            from deepvcp_tpu.ops.distributed import ring_knn
+            from deepvcp_tpu.parallel.mesh import DATA_AXIS
+
+            mesh = self.knn_mesh
+            batch_axis = (
+                DATA_AXIS
+                if (DATA_AXIS in mesh.shape and mesh.shape[DATA_AXIS] > 1
+                    and B % mesh.shape[DATA_AXIS] == 0)
+                else None
+            )
+            _, tnb_idx = ring_knn(
+                mesh, tgt_xyz, cand_flat, ns, batch_axis=batch_axis
+            )
+        elif cfg.neighbor_method in ("windowed", "banded"):
             # reduced-precision selection is gated on cloud scale (see
             # config.knn_select_f32_extent; review finding on bf16
             # cancellation at KITTI-scale coordinates)

@@ -29,6 +29,7 @@ def ring_knn(
     ref: jax.Array,
     query: jax.Array,
     k: int,
+    batch_axis: str = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact K-nearest-neighbors with both clouds sharded over the mesh's
     "point" axis.
@@ -37,6 +38,11 @@ def ring_knn(
         ref: [B, N, 3] reference points (N divisible by the axis size).
         query: [B, M, 3] query points (M divisible likewise).
         k: neighbors per query (k <= N / axis_size).
+        batch_axis: optional mesh axis the BATCH dim is sharded over
+            (e.g. "data" when called from the model under the
+            ("data", "point") training mesh, so the shard_map composes
+            with the data-parallel batch sharding instead of forcing an
+            all-gather over it; B must divide by that axis size).
     Returns:
         (dist [B, M, k] ascending euclidean distances,
          idx [B, M, k] int32 global indices into N) — identical to
@@ -47,12 +53,16 @@ def ring_knn(
     shard_n = N // n_dev
     assert shard_n * n_dev == N, (N, n_dev)
     assert k <= shard_n, (k, shard_n)
+    if batch_axis is not None:
+        assert ref.shape[0] % mesh.shape[batch_axis] == 0, (
+            ref.shape, batch_axis, mesh.shape)
+    spec = P(batch_axis, POINT_AXIS, None)
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(None, POINT_AXIS, None), P(None, POINT_AXIS, None)),
-        out_specs=(P(None, POINT_AXIS, None), P(None, POINT_AXIS, None)),
+        in_specs=(spec, spec),
+        out_specs=(spec, spec),
     )
     def run(ref_shard, query_shard):
         me = jax.lax.axis_index(POINT_AXIS)
@@ -76,10 +86,15 @@ def ring_knn(
             return (block, owner, best_d, best_i), None
 
         B, m, _ = query_shard.shape
-        # mark the running top-k buffers as varying over the ring axis so
-        # the scan carry types match (the loop outputs are device-varying)
+        # mark the running top-k buffers as varying over the ring axis —
+        # and the batch axis when sharded over one — so the scan carry
+        # types match (the loop outputs are device-varying)
+        vary_axes = (
+            (POINT_AXIS,) if batch_axis is None else (POINT_AXIS, batch_axis)
+        )
+
         def varying(x):
-            return jax.lax.pcast(x, POINT_AXIS, to="varying")
+            return jax.lax.pcast(x, vary_axes, to="varying")
         init = (
             ref_shard,
             me,

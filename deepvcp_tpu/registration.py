@@ -30,6 +30,10 @@ class RegistrationOutput(NamedTuple):
     vcps: jax.Array          # [B, K, 3] predicted corresponding points
     inlier_idx: jax.Array    # [B, K'] inlier keypoint indices
     saliency: jax.Array      # [B, N] per-point saliency
+    scores: jax.Array        # [B, refine_iters + 1] alignment score of the
+                             # init pose (col 0) and each iteration's
+                             # candidate pose; the returned (R, t) realizes
+                             # the row-wise minimum (see Registrar guard)
 
 
 class Registrar:
@@ -42,24 +46,43 @@ class Registrar:
         inlier_ratio: float = 0.8,
         use_saliency_weights: bool = False,
         refine_iters: int = 1,
+        guard: bool = True,
     ):
-        """refine_iters > 1 re-runs the network with the previous
-        iteration's solved pose as the warm start (all iterations inside
-        one jitted call). The network trains with a ground-truth warm
-        start (ref train.py:104-105), so its accuracy is best when the
-        init is near the answer; iterating moves inference onto that
-        training distribution — pass 1 gets the pose roughly right, pass
-        2+ sees a near-truth init and solves the residual. The candidate
-        grid only reaches +/-search_radius around the init (the centered
-        default; the reference's asymmetric grid reaches search_radius +
-        voxel_len/2 on the negative side only, defect D12), so this also
-        extends the basin of attraction for large motions.
+        """refine_iters > 1 re-runs the network with the best pose so far
+        as the warm start (all iterations inside one jitted call),
+        extending the basin of attraction: the candidate grid only reaches
+        +/-search_radius around the init (the centered default; the
+        reference's asymmetric grid reaches search_radius + voxel_len/2 on
+        the negative side only, defect D12).
+
+        CONVERGENCE CAVEAT (measured): iteration only helps when the model
+        was TRAINED on jittered warm starts (TrainConfig.init_rot_jitter_deg
+        / init_translation="gt" / init_trans_jitter — the residual mode).
+        The reference trains on exact ground-truth inits (train.py:104-105);
+        for models trained that way the round-3 Q4 sweep measured
+        DIVERGENCE (GT-free RRE 20.6 -> 54.1 -> 78.1 deg over 3 iters,
+        artifacts/campaign_r3c/summary.json) because any slightly-wrong
+        init is out of the training distribution. Residual-mode training
+        makes each pass a contraction of init error, which is what
+        iteration needs.
+
+        `guard` (default on) makes refinement non-worsening regardless of
+        the training mode: every candidate pose — including the caller's
+        init — is scored by the trimmed mean 1-NN distance of the
+        transformed source keypoints into the target cloud (GT-free, and
+        comparable across iterations because the keypoints are
+        init-independent), and an iteration's pose is accepted per batch
+        element only if it beats the best score so far; the next iteration
+        warm-starts from the best-so-far pose. All scores are returned in
+        RegistrationOutput.scores ([B, refine_iters + 1], col 0 = init).
 
         Cost note: the loop is unrolled into one jitted graph, so traced
         HLO (and compile time) grows ~linearly with refine_iters; the
         pose-independent prefix (both FE passes, keypoint selection) is
         re-emitted per iteration and deduped by XLA CSE, not by us. Keep
-        refine_iters small (1-3) on the remote-compile TPU leg."""
+        refine_iters small (1-3) on the remote-compile TPU leg. The guard
+        adds one [B, K, N] distance tile per iteration — noise next to the
+        forward."""
         self.cfg = cfg
         self.model = DeepVCP(cfg=cfg)
         self.variables = variables
@@ -68,25 +91,56 @@ class Registrar:
         if refine_iters < 1:
             raise ValueError(f"refine_iters must be >= 1, got {refine_iters}")
         self.refine_iters = refine_iters
+        self.guard = guard
+
+        def _score(kp, tgt_xyz, R, t):
+            """Trimmed mean 1-NN distance of the posed keypoints into the
+            target cloud: the GT-free acceptance metric. The keypoint set
+            is pose-independent (source branch only), so scores of
+            different candidate poses are directly comparable."""
+            from deepvcp_tpu.ops import apply_rigid, square_distance
+
+            y = apply_rigid(kp, R, t)                       # [B, K, 3]
+            nn_d2 = jnp.min(square_distance(y, tgt_xyz), axis=-1)  # [B, K]
+            k_in = max(int(nn_d2.shape[-1] * inlier_ratio), 3)
+            neg, _ = jax.lax.top_k(-nn_d2, k_in)
+            return jnp.sqrt(jnp.mean(jnp.maximum(-neg, 0.0), axis=-1))
 
         def _register(variables, src, tgt, R_init, t_init):
-            R_cur, t_cur = R_init, t_init
+            tgt_xyz = tgt[..., :3]
+            R_best, t_best = R_init, t_init
+            score_best = None
+            scores = []
             for _ in range(refine_iters):
                 kp, vcp, aux = self.model.apply(
-                    variables, src, tgt, R_cur, t_cur, train=False
+                    variables, src, tgt, R_best, t_best, train=False
                 )
+                if score_best is None:  # score the caller's init once
+                    score_best = _score(kp, tgt_xyz, R_init, t_init)
+                    scores.append(score_best)
                 weights = (
                     aux["keypoint_saliency"] if use_saliency_weights else None
                 )
                 ref = svd_refine(kp, vcp, inlier_ratio, weights)
-                R_cur, t_cur = ref.R, ref.t
+                if guard:
+                    s = _score(kp, tgt_xyz, ref.R, ref.t)
+                    scores.append(s)
+                    better = s < score_best                 # [B]
+                    R_best = jnp.where(better[:, None, None], ref.R, R_best)
+                    t_best = jnp.where(better[:, None], ref.t, t_best)
+                    score_best = jnp.minimum(s, score_best)
+                else:
+                    R_best, t_best = ref.R, ref.t
+                    score_best = _score(kp, tgt_xyz, R_best, t_best)
+                    scores.append(score_best)
             return RegistrationOutput(
-                R=R_cur,
-                t=t_cur,
+                R=R_best,
+                t=t_best,
                 keypoints=kp,
                 vcps=vcp,
                 inlier_idx=ref.inlier_idx,
                 saliency=aux["saliency"],
+                scores=jnp.stack(scores, axis=-1),
             )
 
         self._fn = jax.jit(_register)

@@ -334,6 +334,14 @@ class Trainer:
             "group_radius": c.group_radius,
             "search_radius": c.search_radius,
             "voxel_len": c.voxel_len,
+            # these change the forward without changing parameter shapes
+            # too (round-3 advisor finding): K/ns alter every grouping
+            # stage, pool_mult alters salient-FPS selection, and the SA
+            # radii alter every neighborhood the convs see
+            "num_keypoints": c.num_keypoints,
+            "num_neighbors": c.num_neighbors,
+            "keypoint_pool_mult": c.keypoint_pool_mult,
+            "sa_radii": [l.radius for l in c.sa_layers],
         }
 
     def load_checkpoint(self, path: str) -> None:
@@ -425,7 +433,11 @@ class Trainer:
         return {k: float(v) / max(n, 1) for k, v in agg.items()}
 
     def evaluate(self, batches: Iterator, epoch: int = -1) -> Dict[str, float]:
-        agg: Dict[str, float] = {}
+        """Held-out eval pass. Like train_epoch, the running metric sum is
+        a device-side tree and the host syncs ONCE at the end — per-batch
+        per-key float() costs a ~23 ms round trip each on the axon tunnel
+        (round-3 review finding)."""
+        agg = None
         n = 0
         for src, tgt, R, t in batches:
             m, _ = self._eval_step(
@@ -435,10 +447,16 @@ class Trainer:
                 jnp.asarray(R),
                 jnp.asarray(t),
             )
+            agg = (
+                m
+                if agg is None
+                else jax.tree_util.tree_map(jnp.add, agg, m)
+            )
             n += 1
-            for k, v in m.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
-        out = {k: v / max(n, 1) for k, v in agg.items()}
+        if agg is None:
+            return {}
+        agg = jax.device_get(agg)
+        out = {k: float(v) / max(n, 1) for k, v in agg.items()}
         self.metrics.log({"kind": "eval", "epoch": epoch, **out})
         return out
 

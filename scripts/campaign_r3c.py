@@ -28,6 +28,12 @@ quantifies each claim:
 
 Artifacts: artifacts/campaign_r3c/ (summary.json updated per phase;
 checkpoints under model_*/).
+
+STATUS NOTE (round 4): the round-3 run was cut off during Q5 (model_b3
+died in epoch 0), so artifacts/campaign_r3c/summary.json contains only
+Q1-Q4. Q5 (trained engine delta), Q6 (odometry) and Q7 (roofline) are
+re-run — on the residual-trained round-4 models, which supersede A3 —
+by scripts/campaign_r4.py; see artifacts/campaign_r4/summary.json.
 """
 
 from __future__ import annotations
