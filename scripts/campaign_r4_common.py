@@ -253,10 +253,11 @@ def train_model(campaign: Campaign, tag, cfg_model, tcfg, epochs,
             batch_stats=copy(init_state.batch_stats),
         )
     before = eval_suite(tr._eval_step, tr.state, held, batches=4)
+    epoch_eval_ds = held.get("uniform_small", next(iter(held.values())))
     t0 = _time.time()
     tr.fit(
         lambda epoch: batch_iterator(train_ds, 1, epoch=epoch, seed=0),
-        lambda epoch: batch_iterator(held["uniform_small"], 2, epoch=0,
+        lambda epoch: batch_iterator(epoch_eval_ds, 2, epoch=0,
                                      seed=777, shuffle=False),
         resume=True,
     )
