@@ -2,10 +2,25 @@
 
 The reference's FPS is a Python loop of npoint dependent argmax iterations
 (pointnet2_utils.py:63-84). The jnp version (ops/sampling.py) already
-compiles it to one on-chip loop; this kernel additionally pins the running
-min-distance vector and the cloud in VMEM for the whole loop, so each of
+compiles it to one on-chip loop; this kernel additionally pins the cloud
+and the running min-distance vector in VMEM for the whole loop, so each of
 the npoint iterations is pure VPU work with no HBM traffic at all
-(N=10k: xyz 120 KB + dist 40 KB, far under the ~16 MB VMEM budget).
+(N=10k: xyz [3, N] lane-major ~120 KB + dist [1, N] ~40 KB, far under the
+~16 MB VMEM budget). This is the product path of
+ops.farthest_point_sample on TPU (auto-dispatch), which the model's
+salient_fps keypoint selection uses.
+
+Mosaic constraints shape the implementation (the first version stored
+scalars to VMEM and did data-dependent row gathers, which the TPU
+lowering rejects):
+
+- the selected index is written as a one-hot vector merge into the
+  [1, npoint] output (vector store), not a scalar store;
+- the new centroid's coordinates are read with a masked lane reduction
+  (sum of onehot * row), not a dynamic gather;
+- xyz rides as [3, N] so each coordinate row is a lane vector (a
+  [N, 3] block would pad the 3-wide minor dim to 128 lanes — 42x the
+  bytes, the layout hazard documented in CLAUDE.md).
 
 Grid: one program per batch element.
 """
@@ -21,21 +36,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _fps_kernel(xyz_ref, out_ref, dist_ref, *, npoint: int, start_idx: int):
-    # block shapes: xyz_ref [1, N, 3], out_ref [1, npoint, 1]
-    N = xyz_ref.shape[1]
+    # block shapes: xyz_ref [1, 3, N], out_ref [1, npoint], dist [1, N]
+    N = xyz_ref.shape[2]
     dist_ref[...] = jnp.full((1, N), jnp.inf, jnp.float32)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, npoint), 1)
+    x = xyz_ref[0, 0, :].reshape(1, N)
+    y = xyz_ref[0, 1, :].reshape(1, N)
+    z = xyz_ref[0, 2, :].reshape(1, N)
 
     def body(i, far):
-        out_ref[0, i, 0] = far
-        c = xyz_ref[0, far, :]                                # [3]
-        d = (
-            (xyz_ref[0, :, 0] - c[0]) ** 2
-            + (xyz_ref[0, :, 1] - c[1]) ** 2
-            + (xyz_ref[0, :, 2] - c[2]) ** 2
-        )                                                     # [N]
-        nd = jnp.minimum(dist_ref[0, :], d)
-        dist_ref[0, :] = nd
-        return jnp.argmax(nd).astype(jnp.int32)
+        out_ref[...] = jnp.where(iota_k == i, far, out_ref[...])
+        sel = (iota_n == far).astype(jnp.float32)            # one-hot [1, N]
+        cx = jnp.sum(sel * x)
+        cy = jnp.sum(sel * y)
+        cz = jnp.sum(sel * z)
+        d = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2    # [1, N]
+        nd = jnp.minimum(dist_ref[...], d)
+        dist_ref[...] = nd
+        return jnp.argmax(nd[0]).astype(jnp.int32)
 
     jax.lax.fori_loop(0, npoint, body, jnp.int32(start_idx))
 
@@ -49,7 +68,8 @@ def farthest_point_sample_pallas(
 ) -> jax.Array:
     """xyz [B, N, 3] -> centroids [B, npoint] int32.
 
-    Matches ops.farthest_point_sample exactly (deterministic start)."""
+    Matches ops.farthest_point_sample exactly (deterministic start, same
+    first-max tie-breaking)."""
     B, N, _ = xyz.shape
     # CPU has no Mosaic backend; use the interpreter there
     interpret = interpret or jax.default_backend() == "cpu"
@@ -57,15 +77,16 @@ def farthest_point_sample_pallas(
     kernel = functools.partial(
         _fps_kernel, npoint=npoint, start_idx=start_idx
     )
+    xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)      # [B, 3, N]
     out = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, N, 3), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 3, N), lambda b: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, npoint, 1), lambda b: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, npoint, 1), jnp.int32),
+        out_specs=pl.BlockSpec((1, npoint), lambda b: (b, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, npoint), jnp.int32),
         scratch_shapes=[pltpu.VMEM((1, N), jnp.float32)],
         interpret=interpret,
-    )(xyz.astype(jnp.float32))
-    return out[..., 0]
+    )(xyz_t)
+    return out

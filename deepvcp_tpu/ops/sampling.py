@@ -20,9 +20,17 @@ import jax.numpy as jnp
 
 
 def farthest_point_sample(
-    xyz: jax.Array, npoint: int, start_idx: int = 0
+    xyz: jax.Array, npoint: int, start_idx: int = 0,
+    use_pallas: bool = None,
 ) -> jax.Array:
     """Iterative farthest-point sampling.
+
+    On TPU this dispatches to the Pallas kernel
+    (ops/pallas/fps_kernel.py) which pins the cloud and the running
+    min-distance vector in VMEM for the whole loop — each of the npoint
+    dependent iterations is pure VPU work with no HBM traffic (exact
+    same selection; parity-tested). use_pallas=None means auto
+    (TPU backend only: CPU would run the slow Pallas interpreter).
 
     Args:
         xyz: [B, N, 3]
@@ -30,6 +38,16 @@ def farthest_point_sample(
     Returns:
         centroids: [B, npoint] int32 indices.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from deepvcp_tpu.ops.pallas.fps_kernel import (
+            farthest_point_sample_pallas,
+        )
+
+        return farthest_point_sample_pallas(
+            xyz.astype(jnp.float32), npoint, start_idx
+        )
     B, N, _ = xyz.shape
 
     def body(i, state):

@@ -49,10 +49,31 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-vis", type=str, default=None, metavar="DIR",
                    help="with --eval-only: save {i}_gt.npy/{i}_pred.npy "
                         "cloud pairs + vis.pcd to DIR (vis_utils.py parity)")
+    p.add_argument("--recipe", default="reference",
+                   choices=["reference", "residual"],
+                   help="'reference' = exact reference training semantics "
+                        "(GT warm start, rigid-fit-only loss, constant lr); "
+                        "'residual' = the round-4 recipe: jittered warm "
+                        "starts (so Registrar refine_iters contracts "
+                        "instead of diverging), direct VCP L1 term, cosine "
+                        "lr, saliency-weighted solves")
+    p.add_argument("--init-rot-jitter-deg", type=float, default=None,
+                   help="override the warm-start rotation jitter (residual "
+                        "recipe defaults to 12)")
+    p.add_argument("--init-trans-jitter", type=float, default=None,
+                   help="override the warm-start translation jitter "
+                        "(residual recipe defaults to 0.5)")
+    p.add_argument("--keypoint-selection", default=None,
+                   choices=["topk", "salient_fps"],
+                   help="keypoint policy: topk (reference parity) or "
+                        "salient_fps (spread-enforcing; the fix for "
+                        "density-gradient lidar clouds)")
     return p
 
 
 def configs_from_args(args) -> tuple[DeepVCPConfig, TrainConfig]:
+    import dataclasses
+
     use_normal = args.dataset == "modelnet"
     if args.tiny:
         model_cfg = DeepVCPConfig.tiny(
@@ -64,6 +85,27 @@ def configs_from_args(args) -> tuple[DeepVCPConfig, TrainConfig]:
             use_normal=use_normal,
             num_keypoints=args.num_keypoints,
         )
+    if args.keypoint_selection is not None:
+        model_cfg = dataclasses.replace(
+            model_cfg, keypoint_selection=args.keypoint_selection
+        )
+    extra = {}
+    if args.recipe == "residual":
+        # the round-4 campaign recipe (scripts/campaign_r4_common.py);
+        # total_steps for the cosine schedule is filled in by main()
+        extra = dict(
+            vcp_loss_weight=1.0,
+            lr_schedule="cosine",
+            warmup_steps=100,
+            use_saliency_weights=True,
+            init_translation="gt",
+            init_rot_jitter_deg=12.0,
+            init_trans_jitter=0.5,
+        )
+    if args.init_rot_jitter_deg is not None:
+        extra["init_rot_jitter_deg"] = args.init_rot_jitter_deg
+    if args.init_trans_jitter is not None:
+        extra["init_trans_jitter"] = args.init_trans_jitter
     train_cfg = TrainConfig(
         num_epochs=args.epochs,
         batch_size=args.batch_size,
@@ -72,6 +114,7 @@ def configs_from_args(args) -> tuple[DeepVCPConfig, TrainConfig]:
         seed=args.seed,
         checkpoint_dir=args.checkpoint_dir,
         metrics_path=args.metrics_path,
+        **extra,
     )
     return model_cfg, train_cfg
 
@@ -120,6 +163,17 @@ def main(argv=None) -> None:
         f"Train dataset size: {len(train_data)}  "
         f"Test dataset size: {len(test_data)}"
     )
+
+    if train_cfg.lr_schedule == "cosine" and train_cfg.total_steps == 0:
+        import dataclasses
+
+        steps_per_epoch = max(
+            len(train_data) // train_cfg.batch_size, 1
+        )
+        train_cfg = dataclasses.replace(
+            train_cfg,
+            total_steps=train_cfg.num_epochs * steps_per_epoch,
+        )
 
     trainer = Trainer(model_cfg, train_cfg)
     sample = next(

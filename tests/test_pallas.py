@@ -224,3 +224,16 @@ class TestBandMaxGradKernel:
             )
         )
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_fps_dispatch_parity():
+    """ops.farthest_point_sample(use_pallas=True) — the TPU product path
+    used by the model's salient_fps keypoint selection — must select the
+    same points as the jnp loop (here via the Pallas interpreter)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    xyz = jnp.asarray(rng.uniform(-3, 3, (2, 200, 3)).astype(np.float32))
+    got = ops.farthest_point_sample(xyz, 32, use_pallas=True)
+    want = ops.farthest_point_sample(xyz, 32, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
