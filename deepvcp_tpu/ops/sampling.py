@@ -39,7 +39,12 @@ def farthest_point_sample(
         centroids: [B, npoint] int32 indices.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        import os
+
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("DEEPVCP_FPS_PALLAS", "1") != "0"
+        )
     if use_pallas:
         from deepvcp_tpu.ops.pallas.fps_kernel import (
             farthest_point_sample_pallas,

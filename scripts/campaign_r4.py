@@ -164,12 +164,38 @@ def main():
     sweep_phase("R1C_sweep", "model_r1c", cfg_ref_sem,
                 sets=("uniform_small",))
 
+    # salient_fps rides ops.farthest_point_sample's TPU Pallas dispatch;
+    # probe the kernel's Mosaic lowering first and fall back to the jnp
+    # FPS (DEEPVCP_FPS_PALLAS=0) if it fails, so a kernel regression
+    # cannot take down the R1S phase again (it did once: unaligned
+    # blocks, see fps_kernel.py docstring)
+    if not TINY:
+        try:
+            import numpy as _np
+
+            from deepvcp_tpu.ops.pallas.fps_kernel import (
+                farthest_point_sample_pallas,
+            )
+
+            probe_idx = _np.asarray(farthest_point_sample_pallas(
+                jnp.asarray(_np.random.default_rng(0).uniform(
+                    -1, 1, (2, 256, 3)).astype(_np.float32)), 64))
+            c.save("FPS_mosaic_probe", {"ok": True,
+                                        "first": int(probe_idx[0, 0])})
+        except Exception:
+            os.environ["DEEPVCP_FPS_PALLAS"] = "0"
+            c.save("FPS_mosaic_probe",
+                   {"ok": False, "fallback": "jnp FPS",
+                    "error": traceback.format_exc()[-1500:]})
+
     model_phase("R1S_salient_fps", "model_r1s", cfg_sfps, tcfg, "R1S")
     sweep_phase("R1S_sweep", "model_r1s", cfg_sfps,
                 sets=("uniform_small", "lidar_small"))
 
     # ---- DECISION: what the numbers say the defaults should be -------------
-    if not c.done("DECISION"):
+    # (recomputed every run: it is pure bookkeeping over the sweeps, and a
+    # resumed run may have filled in a sweep a previous run lacked)
+    if True:
         try:
             def best(sweep_key, set_name):
                 sweep = c.summary.get(sweep_key, {})
@@ -207,19 +233,31 @@ def main():
     # model is the precision stage; its reach (0.7 per axis incl. the
     # half-voxel margin) still covers the held-out identity-init error
     # (<= 0.5 trans + <= 0.17 keypoint displacement at 10 deg).
+    # pin FINE's provenance across resumes: once trained, the source
+    # model and keypoint policy come from the saved entry, not from a
+    # DECISION that may have changed since (e.g. R1S filled in later)
+    fine_entry = c.summary.get("FINE_grid_finetune", {})
+    if "fine_src" in fine_entry:
+        fine_src = fine_entry["fine_src"]
+    else:
+        fine_src = ("model_r1s" if c.summary.get("DECISION", {}).get(
+            "salient_fps_wins_lidar") else "model_r1")
     cfg_fine = dataclasses.replace(
-        cfg_fixed if not c.summary.get("DECISION", {}).get(
-            "salient_fps_wins_lidar") else cfg_sfps,
+        cfg_sfps if fine_src == "model_r1s" else cfg_fixed,
         search_radius=0.6 if not TINY else cfg_fixed.search_radius,
         voxel_len=0.2 if not TINY else cfg_fixed.voxel_len,
     )
-    fine_src = ("model_r1s" if c.summary.get("DECISION", {}).get(
-        "salient_fps_wins_lidar") else "model_r1")
     tcfg_fine = dataclasses.replace(
         tcfg, init_rot_jitter_deg=8.0, init_trans_jitter=0.35)
     if fine_src in trainers:
         model_phase("FINE_grid_finetune", "model_fine", cfg_fine, tcfg_fine,
                     "FINE", init_state=trainers[fine_src].state)
+        entry = c.summary.get("FINE_grid_finetune")
+        if entry is not None and "error" not in entry \
+                and "fine_src" not in entry:
+            entry["fine_src"] = fine_src
+            entry["keypoint_selection"] = cfg_fine.keypoint_selection
+            c.save("FINE_grid_finetune", entry)
         sweep_phase("FINE_sweep", "model_fine", cfg_fine,
                     sets=("uniform_small", "lidar_small"))
 
