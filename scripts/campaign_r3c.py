@@ -29,6 +29,12 @@ quantifies each claim:
 Artifacts: artifacts/campaign_r3c/ (summary.json updated per phase;
 checkpoints under model_*/).
 
+STATUS (round 4): the round-3 run was cut off during Q5 (model B3 died
+in epoch 0), so this summary.json holds Q1-Q4 only. Q5 (trained-model
+engine delta) and Q7 (B=1/B=8 roofline) were completed by
+scripts/campaign_r4b.py (artifacts/campaign_r4b/), and Q6 grew into the
+trained-model odometry + pose-graph ATE demo there (phase K2).
+
 STATUS NOTE (round 4): the round-3 run was cut off during Q5 (model_b3
 died in epoch 0), so artifacts/campaign_r3c/summary.json contains only
 Q1-Q4. Q5 (trained engine delta), Q6 (odometry) and Q7 (roofline) are
