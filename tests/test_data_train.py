@@ -284,6 +284,19 @@ class TestConfigValidation:
                 base, neighbor_method="banded", spatial_extent=1.0
             ).resolve()
 
+    def test_kitti_scale_preset(self):
+        """The velodyne preset resolves, engages the f32 candidate-KNN
+        selection gate (bf16 cancels at meter-scale coordinates), and
+        keeps the reference's meter-scale grid reach."""
+        cfg = DeepVCPConfig.kitti_scale()
+        cfg.resolve()
+        assert cfg.knn_select_dtype_effective is None  # f32 selection
+        assert cfg.search_radius == 1.0 and cfg.voxel_len == 0.4
+        # the ModelNet-scale default does use the bf16 selection tile
+        assert DeepVCPConfig(
+            num_points=10000, use_normal=False, spatial_extent=2.5
+        ).knn_select_dtype_effective is not None
+
 
 class TestRegistrar:
     def test_register_without_ground_truth(self):
