@@ -112,8 +112,10 @@ def main():
     EP_K1 = epochs_for(BUDGET_K1, steps_per_epoch)
     trainer_k = None
     if c.done("K1_kitti_scale"):
-        trainer_k = load_trained(c, "model_k1", cfg_kitti, tcfg_k, EP_K1,
-                                 sample_k, steps_per_epoch)
+        if not (c.done("K1_sweep") and c.done("K2_odometry")):
+            # only consumers of the trained model are the sweep + odometry
+            trainer_k = load_trained(c, "model_k1", cfg_kitti, tcfg_k,
+                                     EP_K1, sample_k, steps_per_epoch)
     else:
         try:
             trainer_k, res = train_model(
@@ -233,42 +235,108 @@ def main():
         except Exception:
             c.save("K2_odometry", {"error": traceback.format_exc()})
 
-    # ---- Q5: trained-model engine delta (ModelNet scale) --------------------
+    # ---- Q5: trained-model engine delta -------------------------------------
+    # REDESIGNED TWICE this round, both times on measurement:
+    # 1. TRAINING windowed at N=10k runs at ~14 s/step on the v5e —
+    #    ~170x the banded step (83 ms; the backward re-materializes the
+    #    per-query window gathers). A 12-min budget sized from the
+    #    banded probe would actually take ~33 h — the same pathology
+    #    that killed round-3's model B3 in epoch 0.
+    # 2. Banded-trained weights can NOT be re-evaluated under
+    #    windowed/dense: the banded SA is an architectural redesign
+    #    (pool after the linearity-split first layer, per-point MLP
+    #    tail), with its own param tree (standalone bias0); only
+    #    windowed<->dense share the gather-path architecture/params.
+    # So the measurable deltas are: (a) ARCH delta — banded vs windowed
+    # models trained with the identical recipe and STEP COUNT at an
+    # affordable N=2048; (b) ENGINE delta — the windowed model's weights
+    # evaluated under windowed AND dense (exact-KNN) engines, same
+    # params. The N=10k windowed step time is recorded as the finding
+    # it is: the windowed engine is an inference/oracle path, not a
+    # training path.
     if not c.done("Q5_engine_delta"):
         try:
-            from deepvcp_tpu.models import DeepVCP
-            from deepvcp_tpu.train.trainer import make_eval_step
-            from campaign_r4_common import eval_on
+            import time as _t
 
-            train_m, held_m = make_data(
-                128 if TINY else 10000, TINY)
-            spe_m = len(train_m)
-            sample_m = next(batch_iterator(train_m, 1, epoch=0, seed=0))
+            import jax.numpy as _jnp
+
+            from deepvcp_tpu.models import DeepVCP
+            from deepvcp_tpu.train import Trainer
+            from deepvcp_tpu.train.trainer import make_eval_step
+            from campaign_r4_common import eval_on, make_data, train_model
+
+            NQ = 128 if TINY else 2048
+            _, held_m = make_data(NQ, TINY)
             if TINY:
-                cfg_win = dataclasses.replace(
-                    DeepVCPConfig.tiny(num_points=128, use_normal=False),
-                    neighbor_method="windowed", spatial_extent=4.0,
+                cfg_q5b = dataclasses.replace(
+                    DeepVCPConfig.tiny(num_points=NQ, use_normal=False),
+                    neighbor_method="banded", spatial_extent=4.0,
+                    band_tile=64,
                 )
             else:
-                cfg_win = DeepVCPConfig(
-                    num_points=10000, use_normal=False, spatial_extent=2.5,
-                    neighbor_method="windowed", window_safety=6.0,
-                    knn_window=4096,
+                cfg_q5b = DeepVCPConfig(
+                    num_points=NQ, use_normal=False, spatial_extent=2.5
                 )
-            tcfg_m = residual_tcfg()
-            ep = epochs_for(BUDGET_Q5, spe_m)
-            tr_w, res = train_model(c, "model_q5w", cfg_win, tcfg_m, ep,
-                                    train_m, held_m, sample_m, spe_m)
-            for engine in ("dense",):
-                cfg_e = dataclasses.replace(cfg_win, neighbor_method=engine)
-                eval_e = make_eval_step(DeepVCP(cfg=cfg_e), tcfg_m)
-                res[f"same_weights_{engine}_engine"] = {
-                    "uniform_small": eval_on(
-                        eval_e, tr_w.state, held_m["uniform_small"],
-                        batches=8),
-                }
-            c.save("Q5_engine_delta", res)
-            del tr_w
+            cfg_q5w = dataclasses.replace(
+                cfg_q5b, neighbor_method="windowed", window_safety=6.0,
+                knn_window=min(64 if TINY else 512, NQ),
+            )
+            train_q, _ = make_data(NQ, TINY)
+            spe_q = len(train_q)
+            sample_q = next(batch_iterator(train_q, 1, epoch=0, seed=0))
+            tcfg_q = residual_tcfg()
+
+            # probe the windowed step; size a step count both fit
+            probe = Trainer(cfg_q5w, dataclasses.replace(
+                tcfg_q, num_epochs=1, total_steps=spe_q,
+                metrics_path=os.path.join(c.art, "q5_probe.jsonl"),
+                checkpoint_dir=os.path.join(c.art, "q5_probe_ck")))
+            probe.setup(sample_q)
+            sq, tq, Rq, ttq = (_jnp.asarray(a) for a in sample_q)
+            stp, m = probe._train_step(probe.state, sq, tq, Rq, ttq)
+            float(m["loss"])
+            t0 = _t.time()
+            for _ in range(5):
+                stp, m = probe._train_step(stp, sq, tq, Rq, ttq)
+            float(m["loss"])
+            win_ms = (_t.time() - t0) / 5 * 1e3
+            del stp, probe
+            budget_steps = int(BUDGET_Q5 * 60e3 / max(win_ms, 1e-3))
+            epochs_q = max(min(budget_steps, 4 * spe_q) // spe_q, 1)
+            res = {
+                "windowed_step_ms_N2048": round(win_ms, 1),
+                "windowed_step_ms_N10k_measured": None if TINY else 14000.0,
+                "steps_each": epochs_q * spe_q,
+            }
+            if epochs_q * spe_q * win_ms > 2.2 * BUDGET_Q5 * 60e3:
+                # even one epoch blows the budget — record the step-time
+                # finding and stop; don't eat the round
+                res["skipped"] = "windowed step too slow to train even " \
+                                 "one epoch within ~2x budget"
+                c.save("Q5_engine_delta", res)
+            else:
+                tr_w, rw = train_model(c, "model_q5w", cfg_q5w, tcfg_q,
+                                       epochs_q, train_q, held_m,
+                                       sample_q, spe_q)
+                res["windowed_trained"] = rw
+                tr_b, rb = train_model(c, "model_q5b", cfg_q5b, tcfg_q,
+                                       epochs_q, train_q, held_m,
+                                       sample_q, spe_q)
+                res["banded_trained"] = rb
+                del tr_b
+
+                # engine delta: same windowed-trained weights, dense
+                # (exact-KNN) engine
+                for name, cfg_e in (("dense", dataclasses.replace(
+                        cfg_q5w, neighbor_method="dense")),):
+                    eval_e = make_eval_step(DeepVCP(cfg=cfg_e), tcfg_q)
+                    res[f"windowed_weights_under_{name}"] = {
+                        "uniform_small": eval_on(
+                            eval_e, tr_w.state, held_m["uniform_small"],
+                            batches=8),
+                    }
+                c.save("Q5_engine_delta", res)
+                del tr_w
         except Exception:
             c.save("Q5_engine_delta", {"error": traceback.format_exc()})
 
