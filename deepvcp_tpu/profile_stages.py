@@ -30,6 +30,8 @@ def main(argv=None):
     p.add_argument("--num-points", type=int, default=10000)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--reps", type=int, default=10,
+                   help="calls per timed stream (pipelined; one sync)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--tiny", action="store_true")
     args = p.parse_args(argv)
@@ -139,6 +141,35 @@ def main(argv=None):
         "svd solve": (lambda x, y: svd_refine(x, y)[:2], (kp, vcp)),
     }
 
+    # Timing methodology (axon measured facts, CLAUDE.md): every
+    # host<->device sync costs ~23 ms on the tunnel, and
+    # block_until_ready is optimistic — only a host FETCH is a true
+    # sync. So each stage is timed as a PIPELINED STREAM: `reps`
+    # back-to-back dispatches, then one tiny scalar fetch; the same
+    # harness around a trivial kernel measures the dispatch+sync floor,
+    # which is subtracted before dividing by reps. Per-stage numbers are
+    # device time, not tunnel round trips.
+    def fetch(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf[(0,) * leaf.ndim])
+
+    def stream_time(compiled, a):
+        t_best = None
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(args.reps):
+                out = compiled(*a)
+            fetch(out)
+            dt = time.perf_counter() - t0
+            t_best = dt if t_best is None else min(t_best, dt)
+        return t_best
+
+    z = jnp.zeros((8,), jnp.float32)
+    nul = jax.jit(lambda x: x + 1.0).lower(z).compile()
+    fetch(nul(z))  # warm-up
+    null_floor = stream_time(nul, (z,))
+
     best = {}
     costs = {}
     for name, (fn, a) in stages.items():
@@ -154,14 +185,10 @@ def main(argv=None):
                 }
         except Exception:
             pass
-        jax.block_until_ready(compiled(*a))  # warm-up
-        t_best = None
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            jax.block_until_ready(compiled(*a))
-            dt = time.perf_counter() - t0
-            t_best = dt if t_best is None else min(t_best, dt)
-        best[name] = t_best
+        fetch(compiled(*a))  # warm-up
+        best[name] = max(
+            (stream_time(compiled, a) - null_floor) / args.reps, 1e-9
+        )
 
     total = sum(best.values())
     lines = [f"{'stage':16s} {'ms':>8s} {'%':>6s} {'GFLOP':>9s} {'GB':>8s}"
