@@ -1,0 +1,147 @@
+"""Named pretrained checkpoints from the committed training campaigns.
+
+The reference ships no weights at all (its README tells users to train
+from scratch, /root/reference/README.md:1-14; training logs are even
+gitignored). This framework commits every campaign checkpoint under
+artifacts/, and this module is the supported way to use them:
+
+    from deepvcp_tpu import pretrained
+    cfg, variables = pretrained.load("modelnet-fine")
+    reg = pretrained.registrar("modelnet-fine", refine_iters=3)
+    out = reg(src, tgt)
+
+Every entry records the held-out GT-free numbers measured for it (see
+artifacts/campaign_r4*/summary.json for the full sweeps). Parameters are
+per-point MLP / conv weights, so a checkpoint trained at N=10 000 loads
+at any cloud size; `num_points` only sizes the compiled program.
+
+Restore is params+batch_stats only (the optimizer tree is not needed and
+its structure depends on the training schedule): the checkpoint's own
+metadata provides the abstract target tree, so no Trainer or TrainConfig
+reconstruction is involved. Each checkpoint's `.arch.json` provenance
+(the D12-D14 semantic flags + grid geometry the model was trained under)
+is applied to the returned config, so the weights always compute under
+the architecture they were trained with.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Tuple
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# fields of the arch fingerprint that map 1:1 onto DeepVCPConfig fields
+_ARCH_FIELDS = (
+    "centered_grid", "keypoint_selection", "dfe_src_neighbors",
+    "derotate_tgt_neighborhoods", "group_radius", "search_radius",
+    "voxel_len", "num_keypoints", "num_neighbors", "keypoint_pool_mult",
+)
+
+REGISTRY: Dict[str, Dict[str, Any]] = {
+    "modelnet-coarse": {
+        "path": "artifacts/campaign_r4/model_r1/final",
+        "cfg": {"spatial_extent": 2.5},
+        "gt_free": {"uniform_small": (2.43, 0.058)},
+        "notes": "residual-recipe base model, reference grid "
+                 "(r=1.0, s=0.4); best with refine_iters>=2",
+    },
+    "modelnet-fine": {
+        "path": "artifacts/campaign_r4/model_fine/final",
+        "cfg": {"spatial_extent": 2.5},
+        "gt_free": {"uniform_small": (0.80, 0.026),
+                    "lidar_small": (7.47, 0.092)},
+        "notes": "fine-grid precision stage (r=0.6, s=0.2) fine-tuned "
+                 "from modelnet-coarse; headline ModelNet-scale model, "
+                 "refine_iters=3",
+    },
+    "lidar-fine": {
+        "path": "artifacts/campaign_r4c/model_lfine/final",
+        "cfg": {"spatial_extent": 2.5},
+        "gt_free": {"lidar_small": (2.12, 0.041),
+                    "uniform_small": (5.60, 0.31)},
+        "notes": "modelnet-fine fine-tuned on a lidar-heavy (25/75) "
+                 "mix — the lidar specialist; see README 'lidar gap'",
+    },
+    "kitti25": {
+        "path": "artifacts/campaign_r4b/model_k1/final",
+        "cfg": {"spatial_extent": 55.0},
+        "gt_free": {"lidar25_small": (0.27, 0.0097)},
+        "notes": "velodyne-scale (25 m range, meter coordinates, f32 "
+                 "selection gate); use for odometry, refine_iters=2",
+    },
+}
+
+
+def available() -> Dict[str, str]:
+    """Name -> one-line description of each shipped checkpoint."""
+    return {k: v["notes"] for k, v in REGISTRY.items()}
+
+
+def load(name: str, num_points: int = 10000, use_normal: bool = False
+         ) -> Tuple[Any, Dict[str, Any]]:
+    """Returns (DeepVCPConfig, variables) for a registry checkpoint.
+
+    variables = {"params": ..., "batch_stats": ...} ready for
+    `DeepVCP(cfg=cfg).apply(variables, ...)` or `Registrar(cfg, variables)`.
+    """
+    import jax
+    import jax.sharding as jsh
+    import orbax.checkpoint as ocp
+
+    from deepvcp_tpu.config import DeepVCPConfig
+
+    if name not in REGISTRY:
+        raise KeyError(
+            f"unknown pretrained model {name!r}; available: "
+            f"{sorted(REGISTRY)}")
+    entry = REGISTRY[name]
+    path = os.path.join(_ROOT, entry["path"])
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"checkpoint for {name!r} not found at {path} — the campaign "
+            f"artifacts are committed to the repo; re-run the campaign "
+            f"script named in artifacts/{entry['path'].split('/')[1]} to "
+            f"regenerate")
+
+    cfg = DeepVCPConfig(num_points=num_points, use_normal=use_normal,
+                        **entry["cfg"])
+    arch_path = path + ".arch.json"
+    if os.path.exists(arch_path):
+        with open(arch_path) as fh:
+            arch = json.load(fh)
+        cfg = dataclasses.replace(
+            cfg, **{k: arch[k] for k in _ARCH_FIELDS if k in arch})
+
+    sh = jsh.SingleDeviceSharding(jax.devices()[0])
+
+    def absify(m):
+        if hasattr(m, "shape"):
+            return jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sh)
+        return m
+
+    with ocp.StandardCheckpointer() as ckptr:
+        im = ckptr.metadata(path).item_metadata
+        item = jax.tree_util.tree_map(absify, dict(im))
+        restored = ckptr.restore(path, item)
+    return cfg, {"params": restored["params"],
+                 "batch_stats": restored["batch_stats"]}
+
+
+def registrar(name: str, num_points: int = 10000, use_normal: bool = False,
+              **registrar_kwargs):
+    """One-call inference: a ready `Registrar` on a named checkpoint.
+
+    Defaults follow each model's measured best protocol
+    (use_saliency_weights on; refine_iters from the registry sweeps can
+    be overridden via kwargs)."""
+    from deepvcp_tpu.registration import Registrar
+
+    cfg, variables = load(name, num_points=num_points,
+                          use_normal=use_normal)
+    registrar_kwargs.setdefault("use_saliency_weights", True)
+    registrar_kwargs.setdefault(
+        "refine_iters", 2 if name == "kitti25" else 3)
+    return Registrar(cfg, variables, **registrar_kwargs)
