@@ -135,16 +135,21 @@ class DeepVCPConfig:
     # refinement (Registrar refine_iters) supplies the estimate there.
     derotate_tgt_neighborhoods: bool = True
     # Keypoint selection policy. The reference takes the top-K points by
-    # saliency (weighting_layer.py:31-33) — on density-gradient clouds
-    # (real velodyne) saliency is nearly uniform inside the dense core, so
-    # top-K clusters there and the pose solve loses its lever arm
-    # (measured on the round-3 lidar eval: keypoint RMS lever 0.25 vs
-    # cloud 0.40 -> 80+ deg rotation noise from ~0.1-scale VCP scatter).
-    #   "topk"        reference parity;
+    # saliency (weighting_layer.py:31-33).
+    #   "topk"        reference parity — AND the measured winner;
     #   "salient_fps" farthest-point sampling over the top
     #                 (keypoint_pool_mult*K) saliency pool — keeps only
     #                 salient points but enforces spatial spread (the FPS
-    #                 kernel is ops/sampling.py, a lax.fori_loop on-chip).
+    #                 kernel is ops/sampling.py; Pallas on TPU).
+    # HISTORY: round 3 measured top-K clustering in the dense core of
+    # density-gradient clouds (keypoint RMS lever 0.25 vs cloud 0.40)
+    # and predicted salient_fps would fix the lidar accuracy gap. The
+    # round-4 R1S ablation REFUTED that prediction under training:
+    # salient_fps trained strictly worse on every held set (lidar
+    # GT-free 22.6 vs 17.0 deg; uniform 13.0 vs 3.4 —
+    # artifacts/campaign_r4/summary.json DECISION). The lidar gap was
+    # train-mix distribution instead (campaign_r4c: lidar-heavy
+    # fine-tune 2.1 deg with topk). Default stays "topk".
     keypoint_selection: str = "topk"
     keypoint_pool_mult: int = 4
     # Use the Pallas banded-masked-max kernel for SA pooling on TPU
