@@ -15,10 +15,12 @@ artifacts/campaign_r4*/summary.json for the full sweeps). Parameters are
 per-point MLP / conv weights, so a checkpoint trained at N=10 000 loads
 at any cloud size; `num_points` only sizes the compiled program.
 
-Restore is params+batch_stats only (the optimizer tree is not needed and
-its structure depends on the training schedule): the checkpoint's own
-metadata provides the abstract target tree, so no Trainer or TrainConfig
-reconstruction is involved. Each checkpoint's `.arch.json` provenance
+Restore reads the WHOLE checkpoint tree (the checkpoint's own metadata
+provides the abstract target, so no Trainer or TrainConfig
+reconstruction is involved) and returns only params+batch_stats — the
+optimizer leaves (Adam m/v, ~2x params) are restored and discarded,
+trading a one-time extra read for independence from the orbax partial-
+restore API. Each checkpoint's `.arch.json` provenance
 (the D12-D14 semantic flags + grid geometry the model was trained under)
 is applied to the returned config, so the weights always compute under
 the architecture they were trained with.
@@ -114,6 +116,32 @@ def load(name: str, num_points: int = 10000, use_normal: bool = False
             arch = json.load(fh)
         cfg = dataclasses.replace(
             cfg, **{k: arch[k] for k in _ARCH_FIELDS if k in arch})
+        # sa_radii is part of the fingerprint but lives inside the
+        # sa_layers tuple rather than as a flat config field (round-4
+        # advisor finding: silently dropping it would load a non-default-
+        # radii checkpoint under the wrong neighborhoods)
+        if "sa_radii" in arch:
+            radii = arch["sa_radii"]
+            if len(radii) != len(cfg.sa_layers):
+                raise ValueError(
+                    f"{name!r} provenance records {len(radii)} SA radii "
+                    f"but the config has {len(cfg.sa_layers)} SA layers")
+            cfg = dataclasses.replace(cfg, sa_layers=tuple(
+                dataclasses.replace(l, radius=r)
+                for l, r in zip(cfg.sa_layers, radii)))
+        # fail loudly on any future fingerprint key this loader doesn't
+        # know how to apply (Trainer.load_checkpoint warns on mismatch;
+        # this loader applies provenance silently, so an unapplied key
+        # would be invisible)
+        unapplied = set(arch) - set(_ARCH_FIELDS) - {"sa_radii"}
+        if unapplied:
+            import warnings
+
+            warnings.warn(
+                f"{name!r} arch provenance has keys this loader does not "
+                f"apply: {sorted(unapplied)} — the checkpoint may compute "
+                f"under mismatched semantics; extend pretrained.load",
+                stacklevel=2)
 
     sh = jsh.SingleDeviceSharding(jax.devices()[0])
 

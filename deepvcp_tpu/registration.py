@@ -93,6 +93,37 @@ class Registrar:
         self.refine_iters = refine_iters
         self.guard = guard
 
+        # Continuous extent monitor (round-4 review: the one-time host
+        # preflight gates on the FIRST batch forever, so a long-lived
+        # Registrar later fed differently-scaled clouds got no warning).
+        # The actual extent is reduced IN-GRAPH and shipped through an
+        # async jax.debug.callback — no host sync on the hot path (a
+        # per-call np.asarray(src) would cost the ~23 ms tunnel round
+        # trip, CLAUDE.md) — and the monitor re-warns whenever the extent
+        # moves >1.5x past the declared scale or materially (>1.5x) away
+        # from the last warned value.
+        declared = cfg.resolve().spatial_extent
+        self._warned_extent: Optional[float] = None
+
+        def _extent_monitor(actual):
+            actual = float(actual)
+            if actual <= 1.5 * declared:
+                return
+            last = self._warned_extent
+            if last is not None and (last / 1.5) < actual < (last * 1.5):
+                return
+            self._warned_extent = actual
+            warnings.warn(
+                f"cloud extent {actual:.1f} exceeds cfg.spatial_extent="
+                f"{declared:g}: candidate-KNN selection precision and the "
+                f"banded/windowed neighbor windows are sized for the "
+                f"declared extent — set spatial_extent to the real cloud "
+                f"scale",
+                stacklevel=2,
+            )
+
+        self._extent_monitor = _extent_monitor
+
         def _score(kp, tgt_xyz, R, t):
             """Trimmed mean 1-NN distance of the posed keypoints into the
             target cloud: the GT-free acceptance metric. The keypoint set
@@ -107,6 +138,9 @@ class Registrar:
             return jnp.sqrt(jnp.mean(jnp.maximum(-neg, 0.0), axis=-1))
 
         def _register(variables, src, tgt, R_init, t_init):
+            xyz = src[..., :3]
+            ext = jnp.max(jnp.max(xyz, axis=-2) - jnp.min(xyz, axis=-2))
+            jax.debug.callback(_extent_monitor, ext)
             tgt_xyz = tgt[..., :3]
             R_best, t_best = R_init, t_init
             score_best = None
@@ -190,6 +224,7 @@ class Registrar:
         actual = float((xyz.max(axis=-2) - xyz.min(axis=-2)).max())
         declared = cfg.spatial_extent
         if actual > 1.5 * declared:
+            self._warned_extent = actual  # don't double-warn via monitor
             warnings.warn(
                 f"cloud extent {actual:.1f} exceeds cfg.spatial_extent="
                 f"{declared:g}: candidate-KNN selection precision and the "

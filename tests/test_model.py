@@ -462,3 +462,46 @@ class TestOracleRegistration:
             outs[flag] = (np.asarray(vcp_id), np.asarray(vcp_rot))
         np.testing.assert_allclose(outs[True][0], outs[False][0], atol=1e-6)
         assert not np.allclose(outs[True][1], outs[False][1])
+
+
+class TestRegistrarExtentMonitor:
+    def test_rewarns_on_scale_change(self):
+        """Round-4 review: the extent preflight gated on the FIRST batch
+        forever; the in-graph monitor must re-warn when a long-lived
+        Registrar is later fed differently-scaled clouds."""
+        import warnings
+
+        from deepvcp_tpu.registration import Registrar
+
+        cfg = DeepVCPConfig.tiny(num_points=96, use_normal=False)
+        model = DeepVCP(cfg=cfg)
+        rng = np.random.default_rng(11)
+
+        def cloud(extent):
+            half = extent / 2.0
+            return jnp.asarray(
+                rng.uniform(-half, half, (1, 96, 3)).astype(np.float32))
+
+        small = cloud(cfg.spatial_extent)       # in-spec (extent 4)
+        eye = jnp.eye(3, dtype=jnp.float32)[None]
+        t0 = jnp.zeros((1, 3), jnp.float32)
+        variables = model.init(
+            jax.random.key(0), small, small, eye, t0, train=False)
+        reg = Registrar(cfg, variables, refine_iters=1)
+
+        def run(src):
+            with warnings.catch_warnings(record=True) as rec:
+                warnings.simplefilter("always")
+                out = reg(src, src)
+                np.asarray(out.R)  # flush the stream
+                jax.effects_barrier()  # drain the async extent callback
+            return [w for w in rec
+                    if "spatial_extent" in str(w.message)]
+
+        assert not run(small)                   # in-spec: silent
+        assert run(cloud(20 * cfg.spatial_extent))   # first violation
+        # same out-of-spec scale again: no re-warn (not materially moved)
+        assert not run(cloud(20 * cfg.spatial_extent))
+        # materially different out-of-spec scale: warns again — the
+        # round-4 staleness defect
+        assert run(cloud(200 * cfg.spatial_extent))
