@@ -158,6 +158,20 @@ class DeepVCPConfig:
     # custom-VJP backward (models/fused_sa.py banded_max_pool). CPU
     # always uses the XLA static-band path.
     use_pallas_band_max: bool = True
+    # Candidate/source k-NN selection engine, decoupled from the SA
+    # neighbor engine so the approx-selection accuracy tax can be
+    # measured on banded-arch checkpoints (whose SA params don't
+    # transfer to neighbor_method="dense" — CLAUDE.md):
+    #   "auto"   follow neighbor_method — approx_min_k for
+    #            banded/windowed (the TPU hot path, recall 0.978),
+    #            exact brute-force for dense;
+    #   "exact"  exact chunked top_k regardless of engine (slow on TPU:
+    #            ~129 ms at the full operating point vs 1.6 ms approx —
+    #            an eval-fidelity mode, not a serving mode);
+    #   "approx" approx_min_k regardless of engine.
+    # Inference-only fidelity knob: selection is not learned, so any
+    # checkpoint evaluates under any setting.
+    candidate_knn: str = "auto"
 
     @property
     def in_channels(self) -> int:
@@ -173,6 +187,14 @@ class DeepVCPConfig:
         if self.spatial_extent <= self.knn_select_f32_extent:
             return self.knn_select_dtype
         return None
+
+    @property
+    def use_approx_knn(self) -> bool:
+        """Whether candidate/source k-NN selection runs on the
+        approx_min_k engine (see candidate_knn)."""
+        if self.candidate_knn == "auto":
+            return self.neighbor_method in ("windowed", "banded")
+        return self.candidate_knn == "approx"
 
     @property
     def grid_size(self) -> int:
@@ -207,6 +229,11 @@ class DeepVCPConfig:
             raise ValueError(
                 f"keypoint_pool_mult must be >= 1, got "
                 f"{self.keypoint_pool_mult}"
+            )
+        if self.candidate_knn not in ("auto", "exact", "approx"):
+            raise ValueError(
+                f"candidate_knn must be 'auto'/'exact'/'approx', got "
+                f"{self.candidate_knn!r}"
             )
         if self.dfe_src_neighbors not in ("cloud", "keypoints"):
             raise ValueError(

@@ -152,7 +152,7 @@ class DeepVCP(nn.Module):
             # like-for-like neighborhoods. K*ns queries are tiny (one
             # [K, N] distance tile); zero-hit masking is unnecessary (a
             # k-NN query always returns k real points).
-            if cfg.neighbor_method in ("windowed", "banded"):
+            if cfg.use_approx_knn:
                 _, nb_idx = approx_knn(
                     src_xyz, kp_xyz, ns,
                     select_dtype=cfg.knn_select_dtype_effective,
@@ -218,7 +218,7 @@ class DeepVCP(nn.Module):
             _, tnb_idx = ring_knn(
                 mesh, tgt_xyz, cand_flat, ns, batch_axis=batch_axis
             )
-        elif cfg.neighbor_method in ("windowed", "banded"):
+        elif cfg.use_approx_knn:
             # reduced-precision selection is gated on cloud scale (see
             # config.knn_select_f32_extent; review finding on bf16
             # cancellation at KITTI-scale coordinates)

@@ -143,6 +143,19 @@ def load(name: str, num_points: int = 10000, use_normal: bool = False
                 f"under mismatched semantics; extend pretrained.load",
                 stacklevel=2)
 
+    return cfg, load_variables(path)
+
+
+def load_variables(path: str) -> Dict[str, Any]:
+    """Restore {"params", "batch_stats"} from any orbax checkpoint dir
+    written by Trainer (registry entries or raw campaign artifacts). The
+    checkpoint's own metadata supplies the abstract target tree, so no
+    Trainer reconstruction is needed; arch provenance is NOT applied —
+    use load() for registry entries, or read `path + ".arch.json"`."""
+    import jax
+    import jax.sharding as jsh
+    import orbax.checkpoint as ocp
+
     sh = jsh.SingleDeviceSharding(jax.devices()[0])
 
     def absify(m):
@@ -154,8 +167,8 @@ def load(name: str, num_points: int = 10000, use_normal: bool = False
         im = ckptr.metadata(path).item_metadata
         item = jax.tree_util.tree_map(absify, dict(im))
         restored = ckptr.restore(path, item)
-    return cfg, {"params": restored["params"],
-                 "batch_stats": restored["batch_stats"]}
+    return {"params": restored["params"],
+            "batch_stats": restored["batch_stats"]}
 
 
 def registrar(name: str, num_points: int = 10000, use_normal: bool = False,

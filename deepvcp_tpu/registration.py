@@ -299,3 +299,89 @@ class Registrar:
                 yield drain()
         while inflight:
             yield drain()
+
+
+class CascadeRegistrar:
+    """Coarse-to-fine registration: a sequence of Registrar stages, each
+    warm-started from the previous stage's pose.
+
+    Why a cascade: the CPG candidate grid trades REACH (search_radius)
+    against RESOLUTION (voxel_len) at a fixed candidate count — one grid
+    cannot both capture a large init error and localize the VCP finely.
+    At KITTI scale the coarse grid (r=1.0, s=0.4 m) has a measured
+    soft-argmax rotation floor of 0.3-0.4 deg, while the fine grid
+    (r=0.6, s=0.2) alone clips rotation supervision whenever the init
+    rotation error exceeds ~1.6 deg at the 25 m lever arm (0.7 m reach;
+    campaign_r4e regressed RRE to 1.17 deg for exactly this reason).
+    Chaining them — coarse pass contracts into the fine grid's basin,
+    fine pass localizes below the coarse floor — was measured at
+    ModelNet scale in campaign_r4 part 1 (1.93 deg/0.025 vs 2.43/0.058
+    coarse-only) and is the round-5 KITTI-scale headline recipe.
+
+    The reference has no counterpart (its one grid is fixed at r=1.0,
+    s=0.4, deepVCP.py:76-77, and its eval initializes at ground truth).
+
+    Each stage keeps its own non-worsening guard, and stage i+1 scores
+    stage i's pose as its own init (col 0 of its score block), so the
+    cascade never returns a pose worse than the incoming init under any
+    stage's keypoint metric. `scores` concatenates all stages' blocks:
+    [B, sum_i (refine_iters_i + 1)].
+
+    Stages may differ in grid geometry (and even trained weights) but
+    must share the input contract (num_points, use_normal, scale).
+    """
+
+    def __init__(self, stages):
+        if not stages:
+            raise ValueError("CascadeRegistrar needs at least one stage")
+        for a, b in zip(stages[:-1], stages[1:]):
+            if (a.cfg.num_points, a.cfg.use_normal) != (
+                    b.cfg.num_points, b.cfg.use_normal):
+                raise ValueError(
+                    "cascade stages disagree on the input contract: "
+                    f"{(a.cfg.num_points, a.cfg.use_normal)} vs "
+                    f"{(b.cfg.num_points, b.cfg.use_normal)}")
+        self.stages = list(stages)
+
+    @property
+    def cfg(self):
+        """The FINAL stage's config (what the output pose was solved
+        under) — lets cascade and plain Registrar interchange in eval
+        harnesses."""
+        return self.stages[-1].cfg
+
+    def __call__(
+        self,
+        src: jax.Array,
+        tgt: jax.Array,
+        R_init: Optional[jax.Array] = None,
+        t_init: Optional[jax.Array] = None,
+    ) -> RegistrationOutput:
+        out = None
+        score_blocks = []
+        for reg in self.stages:
+            out = reg(src, tgt, R_init, t_init)
+            R_init, t_init = out.R, out.t
+            score_blocks.append(out.scores)
+        return out._replace(scores=jnp.concatenate(score_blocks, axis=-1))
+
+    def stream(self, pairs, depth: int = 4):
+        """Pipelined cascade over an iterable of pair tuples (see
+        Registrar.stream): all stages of up to `depth` pairs stay in
+        flight, so stage-1 compute of pair i overlaps stage-2 compute of
+        pair i-1 on the device queue."""
+        from collections import deque
+
+        import numpy as np
+
+        inflight: deque = deque()
+        for pair in pairs:
+            inflight.append(self(*pair))
+            if len(inflight) >= depth:
+                out = inflight.popleft()
+                np.asarray(out.R)
+                yield out
+        while inflight:
+            out = inflight.popleft()
+            np.asarray(out.R)
+            yield out

