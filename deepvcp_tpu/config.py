@@ -172,6 +172,22 @@ class DeepVCPConfig:
     # Inference-only fidelity knob: selection is not learned, so any
     # checkpoint evaluates under any setting.
     candidate_knn: str = "auto"
+    # Target-branch candidate grouping structure (ops/two_level.py):
+    #   "auto"      two-level when the candidate cube is small relative
+    #               to the cloud (extent >= 8x grid reach) AND approx
+    #               selection is in play — the regime where one
+    #               per-keypoint top-T table covers every candidate's
+    #               k-NN (coverage bound in the module docstring);
+    #   "two_level" force the two-level path;
+    #   "flat"      force the flat [K*C, N] path (the reference's shape,
+    #               get_cat_feat_tgt.py:44-52).
+    # Two-level replaces the [13824, 10000] selection tile with a
+    # [64, 10000] one, cuts gathered rows 13x, selects in keypoint-LOCAL
+    # coordinates (bf16-safe at any absolute scale), and gathers through
+    # the one-hot MXU kernel (ops/pallas/onehot_gather.py).
+    tgt_knn: str = "auto"
+    # T: table rows per keypoint for the two-level path.
+    tgt_knn_table: int = 512
 
     @property
     def in_channels(self) -> int:
@@ -195,6 +211,27 @@ class DeepVCPConfig:
         if self.candidate_knn == "auto":
             return self.neighbor_method in ("windowed", "banded")
         return self.candidate_knn == "approx"
+
+    @property
+    def grid_reach(self) -> float:
+        """Half-extent of the candidate cube around a warm keypoint
+        (centered grid: search_radius; the reference's asymmetric grid
+        adds voxel_len/2 on the negative side — use the larger)."""
+        return self.search_radius + (
+            0.0 if self.centered_grid else self.voxel_len / 2.0)
+
+    @property
+    def use_two_level_tgt_knn(self) -> bool:
+        """Whether the target branch groups candidates via the
+        two-level per-keypoint-table path (see tgt_knn)."""
+        if self.tgt_knn == "flat":
+            return False
+        if self.tgt_knn == "two_level":
+            return True
+        return (
+            self.use_approx_knn
+            and self.spatial_extent >= 8.0 * max(self.grid_reach, 1e-6)
+        )
 
     @property
     def grid_size(self) -> int:
@@ -234,6 +271,15 @@ class DeepVCPConfig:
             raise ValueError(
                 f"candidate_knn must be 'auto'/'exact'/'approx', got "
                 f"{self.candidate_knn!r}"
+            )
+        if self.tgt_knn not in ("auto", "two_level", "flat"):
+            raise ValueError(
+                f"tgt_knn must be 'auto'/'two_level'/'flat', got "
+                f"{self.tgt_knn!r}"
+            )
+        if self.tgt_knn_table < 1:
+            raise ValueError(
+                f"tgt_knn_table must be >= 1, got {self.tgt_knn_table}"
             )
         if self.dfe_src_neighbors not in ("cloud", "keypoints"):
             raise ValueError(

@@ -218,6 +218,24 @@ class DeepVCP(nn.Module):
             _, tnb_idx = ring_knn(
                 mesh, tgt_xyz, cand_flat, ns, batch_axis=batch_axis
             )
+        elif cfg.use_two_level_tgt_knn:
+            # two-level grouping (ops/two_level.py): per-keypoint top-T
+            # table -> candidate k-NN in keypoint-LOCAL coordinates
+            # (bf16-safe at any absolute scale) -> one-hot MXU gather.
+            # Replaces the [K*C, N] selection tile + 442k-row gather
+            # below with a [K, N] tile + K*T rows (round-5 perf work).
+            from deepvcp_tpu.ops.two_level import two_level_rows
+
+            tnb = two_level_rows(
+                tgt_xyz,
+                jnp.concatenate([tgt_xyz, tgt_feat], axis=-1),
+                kp_warm, candidates, ns,
+                table_size=cfg.tgt_knn_table,
+                select_dtype=cfg.knn_select_dtype,
+                center_select_dtype=cfg.knn_select_dtype_effective,
+                use_pallas=jax.default_backend() == "tpu",
+            ).reshape(B, K * C, ns, -1)
+            tnb_idx = None
         elif cfg.use_approx_knn:
             # reduced-precision selection is gated on cloud scale (see
             # config.knn_select_f32_extent; review finding on bf16
@@ -232,9 +250,10 @@ class DeepVCP(nn.Module):
         # one fused [B, N, 3+F] gather instead of separate xyz/feature
         # gathers: measured 1.9 ms vs 3.0 on v5e at the full operating
         # point (the gather is per-row-overhead-bound, not byte-bound)
-        tnb = index_points(
-            jnp.concatenate([tgt_xyz, tgt_feat], axis=-1), tnb_idx
-        )                                                  # [B,KC,ns,3+F]
+        if tnb_idx is not None:
+            tnb = index_points(
+                jnp.concatenate([tgt_xyz, tgt_feat], axis=-1), tnb_idx
+            )                                              # [B,KC,ns,3+F]
         tnb_xyz, tnb_feat = tnb[..., :3], tnb[..., 3:]
         local_t = tnb_xyz - cand_flat[:, :, None, :]
         if cfg.derotate_tgt_neighborhoods:

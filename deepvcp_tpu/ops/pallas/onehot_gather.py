@@ -1,0 +1,106 @@
+"""Pallas TPU kernel: one-hot-matmul row gather from per-keypoint tables.
+
+The final stage of the two-level candidate grouping (ops/two_level.py,
+replacing the reference's flat knn_cuda gather, get_cat_feat_tgt.py:44-52)
+needs Q = C*k = 6912 rows per keypoint gathered from that keypoint's
+[T, D] table. A plain XLA gather pays per-row address overhead on 442k
+rows (the measured 1.9 ms flat-gather cost is row-count-bound, not
+byte-bound). On TPU the idiomatic move is to make the MXU do the
+gathering: out = onehot(idx) @ table — a dense matmul with a one-hot
+left operand that never exists in HBM.
+
+Kernel shape (per grid step = one [bq] block of one keypoint's queries):
+
+  match[t, q] = (t == idx[q])    [T, bq]  — row-iota vs lane-broadcast
+                                             compare, built in VMEM;
+  out[q, d]   = sum_t match[t, q] * table[t, d]
+              = dot_general(match, table, contract dim 0 x dim 0)
+
+so the indexed row lands in out[q, :] exactly (one-hot matmul in f32 is
+exact: one 1.0 term, the rest 0.0 — bit-identical to take_along_axis).
+
+Constraints that shaped it (cf. ops/pallas/fps_kernel.py): no
+data-dependent row gathers in Mosaic, so the one-hot compare replaces
+indexing; idx rides lane-major as a [1, bq] block (broadcast over
+sublanes is free, the [bq, 1] layout would need an in-kernel transpose);
+all blocks (8, 128)-aligned; D pads to 128 lanes (D=35 in the model —
+the matmul wastes the pad lanes but stays ~0.2 ms of MXU at the full
+operating point, vs 1.9 ms of gather overhead).
+
+Grid: (B, K, Q/bq). VMEM per step: table [T, Dpad] 256 KB (T=512) +
+match [T, bq] 1 MB + out [bq, Dpad] 256 KB — far under budget; the
+table block is revisited Q/bq times and Mosaic keeps it resident across
+the inner grid dimension (same index map value).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _onehot_gather_kernel(idx_ref, table_ref, out_ref):
+    # idx_ref [1, 1, 1, bq] int32; table_ref [1, 1, T, Dpad] f32;
+    # out_ref [1, 1, bq, Dpad] f32
+    T = table_ref.shape[2]
+    bq = idx_ref.shape[3]
+    idx_row = idx_ref[0, 0, :, :]                          # [1, bq]
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (T, bq), 0)
+    match = (iota_t == jnp.broadcast_to(idx_row, (T, bq))).astype(
+        jnp.float32)                                       # [T, bq]
+    out_ref[0, 0] = jax.lax.dot_general(
+        match, table_ref[0, 0],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                      # [bq, Dpad]
+
+
+def _ceil_to(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def onehot_gather(
+    table: jax.Array,
+    idx: jax.Array,
+    block_q: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """table [B, K, T, D] f32, idx [B, K, Q] int32 in [0, T) ->
+    [B, K, Q, D]: out[b, k, q] = table[b, k, idx[b, k, q]].
+
+    Bit-identical to jnp.take_along_axis (exact one-hot f32 matmul)."""
+    B, K, T, D = table.shape
+    Q = idx.shape[-1]
+    interpret = interpret or jax.default_backend() == "cpu"
+    Dpad = _ceil_to(D, 128)
+    bq = min(block_q, _ceil_to(Q, 128))
+    Qpad = _ceil_to(Q, bq)
+    Tpad = _ceil_to(T, 8)
+
+    table_p = table
+    if (Tpad, Dpad) != (T, D):
+        table_p = jnp.zeros((B, K, Tpad, Dpad), table.dtype)
+        table_p = table_p.at[:, :, :T, :D].set(table)
+    idx_p = idx.astype(jnp.int32)
+    if Qpad != Q:
+        idx_p = jnp.concatenate(
+            [idx_p, jnp.zeros((B, K, Qpad - Q), jnp.int32)], axis=-1)
+    idx_p = idx_p.reshape(B, K, Qpad // bq, bq)
+
+    out = pl.pallas_call(
+        _onehot_gather_kernel,
+        grid=(B, K, Qpad // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, bq), lambda b, k, q: (b, k, q, 0)),
+            pl.BlockSpec((1, 1, Tpad, Dpad), lambda b, k, q: (b, k, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, bq, Dpad), lambda b, k, q: (b, k, q, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, K, Qpad, Dpad), jnp.float32),
+        interpret=interpret,
+    )(idx_p, table_p)
+    return out[:, :, :Q, :D]
