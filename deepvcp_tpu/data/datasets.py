@@ -200,6 +200,7 @@ class SyntheticDataset:
         extent: float = 10.0,
         max_translation: float = 1.0,
         max_rotation_deg: Optional[float] = None,
+        noise_std: float = 0.0,
         seed: int = 0,
     ):
         rng = np.random.default_rng(seed)
@@ -213,6 +214,7 @@ class SyntheticDataset:
             self.normals = n / np.linalg.norm(n, axis=-1, keepdims=True)
         self.max_translation = max_translation
         self.max_rotation_deg = max_rotation_deg
+        self.noise_std = noise_std
 
     def __len__(self) -> int:
         return len(self.clouds)
@@ -223,6 +225,7 @@ class SyntheticDataset:
             self.clouds[index], rng, normals=nrm,
             max_translation=self.max_translation,
             max_rotation_deg=self.max_rotation_deg,
+            noise_std=self.noise_std,
         )
         return RegistrationPair(src, tgt, R, t)
 
@@ -302,6 +305,7 @@ class LidarLikeDataset(SyntheticDataset):
         max_range: float = 10.0,
         max_translation: float = 1.0,
         max_rotation_deg: Optional[float] = None,
+        noise_std: float = 0.0,
         seed: int = 0,
     ):
         rng = np.random.default_rng(seed)
@@ -312,6 +316,7 @@ class LidarLikeDataset(SyntheticDataset):
         self.normals = None
         self.max_translation = max_translation
         self.max_rotation_deg = max_rotation_deg
+        self.noise_std = noise_std
 
 
 def batch_iterator(

@@ -42,18 +42,26 @@ def make_pair(
     normals: Optional[np.ndarray] = None,
     max_translation: float = 1.0,
     max_rotation_deg: Optional[float] = None,
+    noise_std: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Build a registration pair from one cloud.
 
     Args:
         points: [N, 3] float source xyz.
         normals: optional [N, 3] normals.
+        noise_std: per-point Gaussian sensor noise added to the TARGET
+            after the transform (the reference's pairs are noiseless
+            copies, which lets correspondence-free ICP solve them
+            exactly — unrealistically; noisy pairs keep evaluation of
+            the learned pipeline honest).
     Returns:
         (src [N, 3 or 6], tgt [N, 3 or 6], R [3, 3], t [3]) float32,
         channels-last.
     """
     R, t = random_pose(rng, max_translation, max_rotation_deg)
     tgt_xyz = points @ R.T + t
+    if noise_std > 0.0:
+        tgt_xyz = tgt_xyz + rng.normal(0.0, noise_std, tgt_xyz.shape)
     if normals is not None:
         tgt_nrm = normals @ R.T
         src = np.concatenate([points, normals], axis=-1)

@@ -5,6 +5,7 @@ from deepvcp_tpu.odometry.pipeline import (
     run_odometry,
 )
 from deepvcp_tpu.odometry.pose_graph import (
+    LandmarkObs,
     PoseGraph,
     absolute_trajectory_error,
     build_graph,
@@ -12,6 +13,7 @@ from deepvcp_tpu.odometry.pose_graph import (
     exp_so3,
     hat,
     log_so3,
+    optimize_landmark_ba,
     optimize_pose_graph,
     optimize_pose_graph_sharded,
     relative_pose_errors,
@@ -22,6 +24,8 @@ __all__ = [
     "build_graph",
     "optimize_pose_graph",
     "optimize_pose_graph_sharded",
+    "optimize_landmark_ba",
+    "LandmarkObs",
     "absolute_trajectory_error",
     "relative_pose_errors",
     "PoseGraph",

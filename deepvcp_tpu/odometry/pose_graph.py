@@ -359,3 +359,216 @@ def relative_pose_errors(
     ang = jnp.degrees(jnp.linalg.norm(log_so3(dR), axis=-1))
     dt = jnp.linalg.norm(tp - tt, axis=-1)
     return ang, dt
+
+
+# --- landmark bundle adjustment (Schur complement) --------------------------
+
+
+class LandmarkObs(NamedTuple):
+    """Landmark observations: landmark `lm[k]` was seen in frame
+    `frame[k]` at coordinates `xyz[k]` (frame-local). The odometry
+    pipeline produces these from registered keypoint/VCP matches."""
+
+    frame: jax.Array    # [O] int32 node index
+    lm: jax.Array       # [O] int32 landmark index
+    xyz: jax.Array      # [O, 3] observed position in frame coordinates
+    weights: jax.Array  # [O] confidence
+
+
+def _ba_normal_equations(
+    R_abs, t_abs, landmarks, obs: LandmarkObs, num_nodes: int, num_lm: int
+):
+    """Per-shard partial normal equations of the landmark residuals
+    r = R_f^T (p_l - t_f) - obs  (absolute poses map frame -> world, so
+    R_f^T (p - t_f) is the world point in frame coordinates).
+
+    Analytic Jacobians under the same right-multiplicative so(3)
+    increment as optimize_pose_graph (R_new = R exp(dw), t_new = t + dt):
+        dr/ddw = hat(r0 + obs) ... = hat(R_f^T (p_l - t_f))
+        dr/ddt = -R_f^T
+        dr/dp  = +R_f^T
+    (exp(-dw) y ~ y - dw x y = hat(y) dw for the rotation part).
+
+    Returns (Hpp [N,6,6], Hpl [N*L,6,3], Hll [L,3,3], gp [N,6],
+    gl [L,3]) summed over this shard's observations — psum-ready.
+    """
+    Rf = R_abs[obs.frame]                       # [O, 3, 3]
+    tf = t_abs[obs.frame]
+    pl = landmarks[obs.lm]                      # [O, 3]
+    y = jnp.einsum("oba,ob->oa", Rf, pl - tf)   # R^T (p - t): [O, 3]
+    r = y - obs.xyz                             # [O, 3]
+    w = obs.weights[:, None, None]
+
+    Jw = hat(y)                                 # [O, 3, 3]
+    Jt = -jnp.swapaxes(Rf, -1, -2)              # -R^T
+    Jl = jnp.swapaxes(Rf, -1, -2)               # +R^T
+    Jp = jnp.concatenate([Jw, Jt], axis=-1)     # [O, 3, 6]
+
+    # weighted blocks; zero-weight (padding) rows vanish exactly
+    JpT = jnp.swapaxes(Jp, -1, -2)
+    Hpp_o = w * (JpT @ Jp)                      # [O, 6, 6]
+    Hll_o = w * (Jl.swapaxes(-1, -2) @ Jl)      # [O, 3, 3]
+    Hpl_o = w * (JpT @ Jl)                      # [O, 6, 3]
+    gp_o = (w[..., 0] * (JpT @ r[..., None])[..., 0])   # [O, 6]
+    gl_o = (w[..., 0] * (Jl.swapaxes(-1, -2) @ r[..., None])[..., 0])
+
+    Hpp = jax.ops.segment_sum(Hpp_o, obs.frame, num_nodes)
+    Hll = jax.ops.segment_sum(Hll_o, obs.lm, num_lm)
+    Hpl = jax.ops.segment_sum(
+        Hpl_o, obs.frame * num_lm + obs.lm, num_nodes * num_lm)
+    gp = jax.ops.segment_sum(gp_o, obs.frame, num_nodes)
+    gl = jax.ops.segment_sum(gl_o, obs.lm, num_lm)
+    return Hpp, Hpl, Hll, gp, gl
+
+
+def optimize_landmark_ba(
+    graph: Optional[PoseGraph],
+    R_init: jax.Array,
+    t_init: jax.Array,
+    landmarks_init: jax.Array,
+    obs: LandmarkObs,
+    mesh=None,
+    num_iters: int = 20,
+    damping: float = 1e-3,
+    rot_weight: float = 1.0,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Joint pose + landmark bundle adjustment via the Schur complement
+    (the reduced camera system) — the multi-host BA named by
+    BASELINE.json config 5 and left as the documented extension point of
+    `optimize_pose_graph_sharded` until round 5.
+
+    State: N poses (so(3) x R^3 increments, node 0 gauge-fixed) + L
+    landmark positions. The landmark block Hll is block-diagonal (3x3
+    per landmark), so each Gauss-Newton step solves only the reduced
+    [6N, 6N] system:
+
+        S  = Hpp - Hpl Hll^-1 Hlp          (Schur complement)
+        S dx_p = -(gp - Hpl Hll^-1 gl)
+        dx_l   = -Hll^-1 (gl + Hlp dx_p)   (back-substitution)
+
+    Pose-graph edges (optional `graph`) contribute pose-only terms to
+    Hpp/gp through the same jacfwd path as `optimize_pose_graph`, so BA
+    refines odometry and structure jointly.
+
+    With `mesh`, observations are sharded over the mesh's "data" axis
+    and every partial block (Hpp, Hpl, Hll, gp, gl) is `psum`-reduced —
+    the same edge-sharded collective-reduction shape as
+    `optimize_pose_graph_sharded`; the dense reduced solve is
+    replicated. Numerically identical to the unsharded path (tested on
+    the CPU mesh). Memory note: Hpl is materialized as [N*L, 6, 3] —
+    fine for keypoint-landmark maps (L ~ 10^3); very large maps would
+    shard the landmark axis too.
+    """
+    num_nodes = R_init.shape[0]
+    num_lm = landmarks_init.shape[0]
+    dtype = jnp.float32
+
+    def unpack(delta):
+        dw = delta[:, :3].at[0].set(0.0)
+        dt = delta[:, 3:].at[0].set(0.0)
+        return dw, dt
+
+    # optional pose-graph terms, via the same dense jacfwd as
+    # optimize_pose_graph (cheap: E small in odometry graphs)
+    def graph_terms(R_abs, t_abs):
+        if graph is None:
+            z6 = jnp.zeros((num_nodes * 6, num_nodes * 6), dtype)
+            return z6, jnp.zeros((num_nodes * 6,), dtype)
+
+        def residual_vec(delta):
+            dw, dt = unpack(delta)
+            r_rot, r_trans = _edge_residuals(
+                graph, R_abs @ exp_so3(dw), t_abs + dt)
+            return jnp.concatenate(
+                [rot_weight * r_rot.reshape(-1), r_trans.reshape(-1)])
+
+        delta0 = jnp.zeros((num_nodes, 6), dtype)
+        J = jax.jacfwd(residual_vec)(delta0).reshape(-1, num_nodes * 6)
+        r = residual_vec(delta0)
+        return J.T @ J, J.T @ r
+
+    if mesh is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from deepvcp_tpu.parallel.mesh import DATA_AXIS
+
+        n_shards = mesh.shape[DATA_AXIS]
+        O = obs.frame.shape[0]
+        pad = (-O) % n_shards
+        if pad:
+            obs = LandmarkObs(
+                frame=jnp.concatenate([obs.frame,
+                                       jnp.zeros(pad, jnp.int32)]),
+                lm=jnp.concatenate([obs.lm, jnp.zeros(pad, jnp.int32)]),
+                xyz=jnp.concatenate([obs.xyz.astype(dtype),
+                                     jnp.zeros((pad, 3), dtype)]),
+                weights=jnp.concatenate([obs.weights.astype(dtype),
+                                         jnp.zeros(pad, dtype)]),
+            )
+        ospec = LandmarkObs(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                            P(DATA_AXIS))
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P(), P(), ospec), out_specs=(P(),) * 5,
+        )
+        def sharded_normals(R_abs, t_abs, lms, o):
+            parts = _ba_normal_equations(
+                R_abs, t_abs, lms, o, num_nodes, num_lm)
+            return tuple(jax.lax.psum(p, DATA_AXIS) for p in parts)
+
+        normals = lambda R_abs, t_abs, lms: sharded_normals(
+            R_abs, t_abs, lms, obs)
+    else:
+        normals = lambda R_abs, t_abs, lms: _ba_normal_equations(
+            R_abs, t_abs, lms, obs, num_nodes, num_lm)
+
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    def gn_step(carry, _):
+        R_abs, t_abs, lms = carry
+        Hpp_o, Hpl, Hll, gp, gl = normals(R_abs, t_abs, lms)
+        # gauge: node 0 is pinned, so its landmark-term Jacobian blocks
+        # are zero by definition (the graph terms already bake this into
+        # their residual). Without this the Schur solve distributes
+        # increments differently than the gauge-fixed dense system.
+        Hpp_o = Hpp_o.at[0].set(0.0)
+        gp = gp.at[0].set(0.0)
+        Hpl = Hpl.reshape(num_nodes, num_lm, 6, 3).at[0].set(0.0)
+        Hg, gg = graph_terms(R_abs, t_abs)
+        # assemble pose block: landmark terms (block-diag over frames)
+        # + pose-graph terms (dense) + damping
+        Hpp = Hg.reshape(num_nodes, 6, num_nodes, 6)
+        idx = jnp.arange(num_nodes)
+        Hpp = Hpp.at[idx, :, idx, :].add(Hpp_o)
+        Hpp = Hpp.reshape(num_nodes * 6, num_nodes * 6)
+        Hpp = Hpp + damping * jnp.eye(num_nodes * 6, dtype=dtype)
+        g_p = gg + gp.reshape(-1)
+
+        Hll = Hll + damping * eye3                  # [L, 3, 3]
+        Hll_inv = jnp.linalg.inv(Hll)
+        Hpl_b = Hpl                                 # [N, L, 6, 3]
+        # W = Hpl Hll^-1 per (frame, landmark) block
+        W = jnp.einsum("nlab,lbc->nlac", Hpl_b, Hll_inv)
+        # S = Hpp - sum_l W Hlp
+        S_corr = jnp.einsum("nlac,mlbc->namb", W, Hpl_b).reshape(
+            num_nodes * 6, num_nodes * 6)
+        g_corr = jnp.einsum("nlac,lc->na", W, gl).reshape(-1)
+        S = Hpp - S_corr
+        rhs = -(g_p - g_corr)
+        dxp = jnp.linalg.solve(S, rhs).reshape(num_nodes, 6)
+        dw, dt = unpack(dxp)                        # gauge: node 0 pinned
+        dxp_fixed = jnp.concatenate([dw, dt], axis=-1)
+        # back-substitute landmarks with the gauge-fixed increments
+        Hlp_dx = jnp.einsum("nlab,na->lb", Hpl_b, dxp_fixed)
+        dxl = -jnp.einsum("lab,lb->la", Hll_inv, gl + Hlp_dx)
+        return (R_abs @ exp_so3(dw), t_abs + dt, lms + dxl), None
+
+    (R_out, t_out, lm_out), _ = jax.lax.scan(
+        gn_step,
+        (R_init.astype(dtype), t_init.astype(dtype),
+         landmarks_init.astype(dtype)),
+        None, length=num_iters,
+    )
+    return R_out, t_out, lm_out
