@@ -395,3 +395,14 @@ class TrainConfig:
     checkpoint_every_epochs: int = 1
     metrics_path: str = "metrics.jsonl"
     log_every: int = 5               # ref train.py:130
+    # --- multi-host failure detection (parallel/heartbeat.py) -------------
+    # > 0 starts a per-process heartbeat (written into checkpoint_dir,
+    # which multi-host orbax already requires to be shared storage) and a
+    # per-epoch watchdog scan; a dead/stalled peer raises PeerFailure so
+    # the job restarts and resumes from the last epoch checkpoint instead
+    # of hanging in a collective. 0 = off (single-host default).
+    heartbeat_interval: float = 0.0
+    # a peer whose last beat is older than this is dead (host crash);
+    # one whose STEP hasn't advanced for 4x this is wedged (hung
+    # collective) — both fail loudly.
+    heartbeat_stale_after: float = 120.0

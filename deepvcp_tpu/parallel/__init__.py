@@ -6,6 +6,13 @@ from deepvcp_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from deepvcp_tpu.parallel.heartbeat import (
+    Heartbeat,
+    PeerFailure,
+    Watchdog,
+    check_peers,
+    wait_for_all_hosts,
+)
 from deepvcp_tpu.parallel.multihost import (
     host_shard_info,
     initialize_multihost,
@@ -20,6 +27,11 @@ __all__ = [
     "replicated",
     "shard_batch",
     "initialize_multihost",
+    "Heartbeat",
+    "Watchdog",
+    "PeerFailure",
+    "check_peers",
+    "wait_for_all_hosts",
     "host_shard_info",
     "is_primary_host",
 ]

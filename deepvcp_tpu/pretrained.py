@@ -74,6 +74,42 @@ REGISTRY: Dict[str, Dict[str, Any]] = {
         "notes": "velodyne-scale (25 m range, meter coordinates, f32 "
                  "selection gate); use for odometry, refine_iters=2",
     },
+    "kitti25-fine": {
+        "path": "artifacts/campaign_r5/model_k5/final",
+        "cfg": {"spatial_extent": 55.0},
+        "gt_free": {},  # cascade stage — see CASCADES["kitti-cascade"]
+        "notes": "fine-grid KITTI-scale stage (r=0.6, s=0.2 m) trained "
+                 "on the cascade hand-off jitter ball (1.5 deg/0.15 m, "
+                 "in-reach at the 25 m lever arm); meant as the second "
+                 "stage of kitti-cascade, not for identity-init use",
+    },
+    "kitti25-ultra": {
+        "path": "artifacts/campaign_r5/model_k6/final",
+        "cfg": {"spatial_extent": 55.0},
+        "gt_free": {},  # cascade stage — see CASCADES["kitti-cascade"]
+        "notes": "ultra-fine KITTI-scale stage (r=0.3, s=0.1 m, "
+                 "0.6 deg/0.07 m ball) — optional third cascade stage",
+    },
+}
+
+# Multi-stage coarse-to-fine compositions (registration.CascadeRegistrar).
+# Stage grids trade reach for resolution; each entry lists
+# (registry model, refine_iters) in execution order. Numbers from
+# artifacts/campaign_r5/summary.json (C2/C3 sweeps).
+CASCADES: Dict[str, Dict[str, Any]] = {
+    "kitti-cascade": {
+        "stages": [("kitti25", 2), ("kitti25-fine", 1)],
+        "gt_free": {},  # filled by the round-5 campaign
+        "notes": "coarse pass contracts the init into the fine grid's "
+                 "basin; fine pass localizes below the coarse grid's "
+                 "soft-argmax floor",
+    },
+    "modelnet-cascade": {
+        "stages": [("modelnet-coarse", 2), ("modelnet-fine", 1)],
+        "gt_free": {},
+        "notes": "the ModelNet-scale cascade (campaign_r4 part 1 "
+                 "measured 1.93 deg/0.025 vs 2.43/0.058 coarse-only)",
+    },
 }
 
 
@@ -186,3 +222,23 @@ def registrar(name: str, num_points: int = 10000, use_normal: bool = False,
     registrar_kwargs.setdefault(
         "refine_iters", 2 if name == "kitti25" else 3)
     return Registrar(cfg, variables, **registrar_kwargs)
+
+
+def cascade(name: str, num_points: int = 10000, use_normal: bool = False,
+            **registrar_kwargs):
+    """One-call coarse-to-fine inference: a CascadeRegistrar over a
+    named stage composition (see CASCADES). Per-stage refine_iters come
+    from the entry; other Registrar kwargs apply to every stage."""
+    from deepvcp_tpu.registration import CascadeRegistrar, Registrar
+
+    if name not in CASCADES:
+        raise KeyError(
+            f"unknown cascade {name!r}; available: {sorted(CASCADES)}")
+    registrar_kwargs.setdefault("use_saliency_weights", True)
+    stages = []
+    for stage_name, iters in CASCADES[name]["stages"]:
+        cfg, variables = load(stage_name, num_points=num_points,
+                              use_normal=use_normal)
+        stages.append(Registrar(cfg, variables, refine_iters=iters,
+                                **registrar_kwargs))
+    return CascadeRegistrar(stages)

@@ -28,6 +28,32 @@ from deepvcp_tpu.models import DeepVCP
 # is ~23 ms, so 256 keeps the amortized cost under 0.1 ms/call).
 _EXTENT_RECHECK_EVERY = 256
 
+_CALLBACKS_OK: Optional[bool] = None
+
+
+def _callbacks_supported() -> bool:
+    """Whether the default backend executes jax.debug.callback.
+
+    The axon PJRT plugin reports platform "tpu" but rejects ALL host
+    callbacks at RUN time ("axon_pjrt does not support host send/recv
+    callbacks" — it killed the round-5 campaign's first eval pass), so
+    the only reliable detection is executing one: probe a trivial
+    jitted op once per process and cache the answer."""
+    global _CALLBACKS_OK
+    if _CALLBACKS_OK is None:
+        import numpy as np
+
+        try:
+            def probe(x):
+                jax.debug.callback(lambda v: None, x)
+                return x + 1
+
+            np.asarray(jax.jit(probe)(jnp.zeros(())))
+            _CALLBACKS_OK = True
+        except Exception:  # noqa: BLE001 - any failure means "don't"
+            _CALLBACKS_OK = False
+    return _CALLBACKS_OK
+
 
 class RegistrationOutput(NamedTuple):
     R: jax.Array             # [B, 3, 3] estimated rotation
@@ -117,7 +143,7 @@ class Registrar:
         # amortized to <0.1 ms/call).
         declared = cfg.resolve().spatial_extent
         self._warned_extent: Optional[float] = None
-        self._callback_ok = jax.default_backend() in ("cpu", "gpu", "tpu")
+        self._callback_ok = _callbacks_supported()
         self._calls_since_check = 0
 
         def _extent_monitor(actual):

@@ -468,7 +468,13 @@ class Trainer:
         With resume=True, restart from the latest checkpoint marker in
         checkpoint_dir (elastic recovery: a killed run continues at the
         next epoch with identical data order, since batches are seeded
-        per epoch)."""
+        per epoch).
+
+        With cfg.heartbeat_interval > 0 the loop also runs the
+        multi-host failure detector (parallel/heartbeat.py): heartbeat
+        + startup barrier + per-epoch watchdog scan, so a dead or
+        wedged peer fails this process loudly instead of hanging in a
+        collective; the restarted job resumes here via resume=True."""
         start_epoch = 0
         if resume:
             info = self.latest_checkpoint()
@@ -479,11 +485,37 @@ class Trainer:
                     {"kind": "resume", "epoch": start_epoch,
                      "step": info.get("step", -1)}
                 )
-        for epoch in range(start_epoch, self.cfg.num_epochs):
-            avg = self.train_epoch(make_train_batches(epoch), epoch)
-            self.metrics.log({"kind": "epoch", "epoch": epoch, **avg})
-            if (epoch + 1) % self.cfg.checkpoint_every_epochs == 0:
-                self.save_checkpoint(f"epoch_{epoch}", epoch=epoch)
-            if make_eval_batches is not None:
-                self.evaluate(make_eval_batches(epoch), epoch)
-        self.save_checkpoint("final", epoch=self.cfg.num_epochs - 1)
+        heartbeat = watchdog = None
+        if self.cfg.heartbeat_interval > 0:
+            from deepvcp_tpu.parallel.heartbeat import (
+                Heartbeat,
+                Watchdog,
+                wait_for_all_hosts,
+            )
+
+            hb_dir = os.path.join(self.cfg.checkpoint_dir, "heartbeats")
+            heartbeat = Heartbeat(
+                hb_dir, jax.process_index(),
+                interval=self.cfg.heartbeat_interval).start()
+            wait_for_all_hosts(hb_dir, jax.process_count())
+            watchdog = Watchdog(
+                hb_dir, jax.process_count(), jax.process_index(),
+                stale_after=self.cfg.heartbeat_stale_after,
+                step_stale_after=4 * self.cfg.heartbeat_stale_after,
+                grace_period=self.cfg.heartbeat_stale_after,
+            )
+        try:
+            for epoch in range(start_epoch, self.cfg.num_epochs):
+                avg = self.train_epoch(make_train_batches(epoch), epoch)
+                self.metrics.log({"kind": "epoch", "epoch": epoch, **avg})
+                if heartbeat is not None:
+                    heartbeat.update(int(self.state.step))
+                    watchdog.scan()
+                if (epoch + 1) % self.cfg.checkpoint_every_epochs == 0:
+                    self.save_checkpoint(f"epoch_{epoch}", epoch=epoch)
+                if make_eval_batches is not None:
+                    self.evaluate(make_eval_batches(epoch), epoch)
+            self.save_checkpoint("final", epoch=self.cfg.num_epochs - 1)
+        finally:
+            if heartbeat is not None:
+                heartbeat.stop()

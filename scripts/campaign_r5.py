@@ -124,8 +124,12 @@ def main():
         cfg_fine = cfg_coarse
         cfg_ultra = cfg_coarse
     else:
+        # tgt_knn pinned to "flat": keeps the headline cascade numbers
+        # comparable with the round-4 campaigns (the two-level path's
+        # accuracy delta is measured separately in campaign_r5b W3)
         cfg_coarse = DeepVCPConfig(
-            num_points=N, use_normal=False, spatial_extent=EXTENT)
+            num_points=N, use_normal=False, spatial_extent=EXTENT,
+            tgt_knn="flat")
         cfg_fine = dataclasses.replace(
             cfg_coarse, search_radius=0.6, voxel_len=0.2)
         cfg_ultra = dataclasses.replace(

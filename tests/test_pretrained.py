@@ -75,3 +75,31 @@ def test_registrar_end_to_end():
     rte_identity = np.asarray(jnp.linalg.norm(t, axis=-1))
     assert rte.mean() < rte_identity.mean(), (rte, rte_identity)
     assert rre.mean() <= 10.0, rre
+
+
+def test_cascade_end_to_end():
+    from deepvcp_tpu.registration import CascadeRegistrar
+
+    try:
+        casc = pretrained.cascade("modelnet-cascade", num_points=256)
+    except FileNotFoundError:
+        pytest.skip("cascade stage checkpoints not present")
+    assert isinstance(casc, CascadeRegistrar)
+    # per-entry refine_iters: (2, 1) => score blocks of 3 + 2 columns
+    from deepvcp_tpu.data import SyntheticDataset, batch_iterator
+
+    ds = SyntheticDataset(num_clouds=2, num_points=256, extent=1.0,
+                          seed=100, max_rotation_deg=10.0,
+                          max_translation=0.5)
+    src, tgt, R, t = (jnp.asarray(a)
+                      for a in next(batch_iterator(ds, 2, epoch=0, seed=0)))
+    out = casc(src, tgt)
+    sc = np.asarray(out.scores)
+    assert sc.shape == (2, 5)
+    # non-worsening vs the identity init under the guard
+    assert (sc.min(axis=1) <= sc[:, 0] + 1e-7).all()
+
+
+def test_unknown_cascade_raises():
+    with pytest.raises(KeyError, match="available"):
+        pretrained.cascade("no-such-cascade")
