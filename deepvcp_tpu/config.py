@@ -188,6 +188,9 @@ class DeepVCPConfig:
     tgt_knn: str = "auto"
     # T: table rows per keypoint for the two-level path.
     tgt_knn_table: int = 512
+    # Route the two-level row gather through the one-hot MXU kernel on
+    # TPU (ops/pallas/onehot_gather.py); off = XLA take_along_axis.
+    use_pallas_onehot_gather: bool = True
 
     @property
     def in_channels(self) -> int:

@@ -233,7 +233,8 @@ class DeepVCP(nn.Module):
                 table_size=cfg.tgt_knn_table,
                 select_dtype=cfg.knn_select_dtype,
                 center_select_dtype=cfg.knn_select_dtype_effective,
-                use_pallas=jax.default_backend() == "tpu",
+                use_pallas=(cfg.use_pallas_onehot_gather
+                            and jax.default_backend() == "tpu"),
             ).reshape(B, K * C, ns, -1)
             tnb_idx = None
         elif cfg.use_approx_knn:

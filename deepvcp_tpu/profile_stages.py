@@ -49,7 +49,9 @@ def main(argv=None):
     from deepvcp_tpu.models import DeepVCP, FeatureExtraction
     from deepvcp_tpu.models.layers import CPG, FeatEmbedding, WeightingLayer
     from deepvcp_tpu.ops import voxelize
+    from deepvcp_tpu.ops.grouping import index_points
     from deepvcp_tpu.ops.knn import approx_knn
+    from deepvcp_tpu.ops.two_level import two_level_rows
 
     cfg = (
         DeepVCPConfig.tiny(args.num_points, use_normal=False)
@@ -127,6 +129,30 @@ def main(argv=None):
                 select_dtype=cfg.knn_select_dtype_effective,
             ),
             (tgt, cand_flat),
+        ),
+        # flat-path fused neighbor-row gather (the [K*C*ns]-row random
+        # gather the two-level path replaces)
+        "row gather": (
+            lambda r_, i_: index_points(r_, i_),
+            (
+                jnp.concatenate([tgt, feats], axis=-1),
+                jnp.asarray(rng.integers(
+                    0, cfg.num_points, (B, K * C, ns)).astype(np.int32)),
+            ),
+        ),
+        # two-level replacement for candidate knn + row gather
+        # (ops/two_level.py: per-keypoint table, local-coordinate
+        # selection, one-hot MXU gather)
+        "two-level rows": (
+            lambda t_, r_, k_, c_: two_level_rows(
+                t_, r_, k_, c_, ns,
+                table_size=cfg.tgt_knn_table,
+                select_dtype=cfg.knn_select_dtype,
+                center_select_dtype=cfg.knn_select_dtype_effective,
+                use_pallas=(cfg.use_pallas_onehot_gather
+                            and jax.default_backend() == "tpu"),
+            ),
+            (tgt, jnp.concatenate([tgt, feats], axis=-1), kp, cand),
         ),
         "dfe(src)": (
             lambda x: dfe.apply({"params": params["dfe"]}, x), (src_cat,)
