@@ -104,3 +104,92 @@ def onehot_gather(
         interpret=interpret,
     )(idx_p, table_p)
     return out[:, :, :Q, :D]
+
+
+# --- custom VJP: make the kernel trainable ---------------------------------
+# The backward of a row gather is a row scatter-add, which is the SAME
+# one-hot matmul transposed: dtable[t, d] = sum_q [idx[q] == t] dout[q, d]
+# = match @ dout. Without this, any training forward that routes through
+# the kernel (KITTI-scale two-level path under grad) would fail at trace
+# time — pallas_call has no automatic transpose rule.
+
+
+def _onehot_scatter_kernel(idx_ref, dout_ref, dtab_ref):
+    # idx_ref [1, 1, 1, bq]; dout_ref [1, 1, bq, Dpad];
+    # dtab_ref [1, 1, T, Dpad] — revisited across the q grid dim:
+    # initialize on the first step, accumulate after.
+    T = dtab_ref.shape[2]
+    bq = idx_ref.shape[3]
+    q = pl.program_id(2)
+    idx_row = idx_ref[0, 0, :, :]                          # [1, bq]
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (T, bq), 0)
+    match = (iota_t == jnp.broadcast_to(idx_row, (T, bq))).astype(
+        jnp.float32)                                       # [T, bq]
+    part = jax.lax.dot_general(
+        match, dout_ref[0, 0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                      # [T, Dpad]
+
+    @pl.when(q == 0)
+    def _init():
+        dtab_ref[0, 0] = part
+
+    @pl.when(q > 0)
+    def _acc():
+        dtab_ref[0, 0] += part
+
+
+def _scatter_add(dout: jax.Array, idx: jax.Array, T: int,
+                 block_q: int, interpret: bool) -> jax.Array:
+    """dout [B, K, Q, D], idx [B, K, Q] -> dtable [B, K, T, D]."""
+    B, K, Q, D = dout.shape
+    interpret = interpret or jax.default_backend() == "cpu"
+    Dpad = _ceil_to(D, 128)
+    bq = min(block_q, _ceil_to(Q, 128))
+    Qpad = _ceil_to(Q, bq)
+    Tpad = _ceil_to(T, 8)
+    dout_p = dout
+    if (Qpad, Dpad) != (Q, D):
+        dout_p = jnp.zeros((B, K, Qpad, Dpad), jnp.float32)
+        dout_p = dout_p.at[:, :, :Q, :D].set(dout)
+    idx_p = idx.astype(jnp.int32)
+    if Qpad != Q:
+        # padding rows carry idx T (out of range -> matches no table row)
+        idx_p = jnp.concatenate(
+            [idx_p, jnp.full((B, K, Qpad - Q), T, jnp.int32)], axis=-1)
+    idx_p = idx_p.reshape(B, K, Qpad // bq, bq)
+    out = pl.pallas_call(
+        _onehot_scatter_kernel,
+        grid=(B, K, Qpad // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, bq), lambda b, k, q: (b, k, q, 0)),
+            pl.BlockSpec((1, 1, bq, Dpad), lambda b, k, q: (b, k, q, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, Tpad, Dpad), lambda b, k, q: (b, k, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, K, Tpad, Dpad), jnp.float32),
+        interpret=interpret,
+    )(idx_p, dout_p.astype(jnp.float32))
+    return out[:, :, :T, :D]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def onehot_gather_vjp(table, idx, block_q=512, interpret=False):
+    """Differentiable one-hot gather: same forward as onehot_gather,
+    Pallas scatter-add backward (no gradient w.r.t. idx — selection is
+    not differentiable, matching take_along_axis semantics)."""
+    return onehot_gather(table, idx, block_q=block_q, interpret=interpret)
+
+
+def _og_fwd(table, idx, block_q, interpret):
+    return onehot_gather(table, idx, block_q=block_q,
+                         interpret=interpret), (idx, table.shape[-2])
+
+
+def _og_bwd(block_q, interpret, res, dout):
+    idx, T = res
+    return _scatter_add(dout, idx, T, block_q, interpret), None
+
+
+onehot_gather_vjp.defvjp(_og_fwd, _og_bwd)

@@ -135,9 +135,12 @@ def two_level_rows(
     # --- gather the winning table rows ---------------------------------
     flat_idx = l_idx.reshape(B, K, C * k)
     if use_pallas and table.dtype == jnp.float32:
-        from deepvcp_tpu.ops.pallas.onehot_gather import onehot_gather
+        from deepvcp_tpu.ops.pallas.onehot_gather import onehot_gather_vjp
 
-        out = onehot_gather(table, flat_idx)               # [B, K, C*k, D]
+        # the VJP-wrapped kernel: differentiable w.r.t. the table (the
+        # scatter-add backward is the transposed one-hot matmul), so
+        # training forwards can route through it
+        out = onehot_gather_vjp(table, flat_idx)           # [B, K, C*k, D]
     else:
         out = _onehot_gather_xla(table, flat_idx)
     return out.reshape(B, K, C, k, -1)

@@ -157,3 +157,51 @@ class TestTwoLevelRows:
         assert np.isfinite(np.asarray(vcp_t)).all()
         np.testing.assert_allclose(np.asarray(vcp_f), np.asarray(vcp_t),
                                    atol=1e-2)
+
+
+class TestOnehotGatherVjp:
+    def test_grad_matches_take_along_axis(self):
+        from deepvcp_tpu.ops.pallas.onehot_gather import onehot_gather_vjp
+
+        rng = np.random.default_rng(7)
+        table = jnp.asarray(
+            rng.normal(size=(1, 2, 40, 7)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 40, (1, 2, 130)).astype(np.int32))
+
+        def f(tb):
+            return jnp.sum(jnp.sin(onehot_gather_vjp(tb, idx)))
+
+        def f_ref(tb):
+            return jnp.sum(jnp.sin(
+                jnp.take_along_axis(tb, idx[..., None], axis=-2)))
+
+        g = jax.grad(f)(table)
+        g_ref = jax.grad(f_ref)(table)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(g_ref))
+
+    def test_two_level_rows_differentiable_with_pallas(self):
+        """Training forwards route gradients through the kernel path
+        (interpret mode on CPU): grad w.r.t. the row features must match
+        the XLA-gather path exactly."""
+        from deepvcp_tpu.ops.two_level import two_level_rows
+
+        rng = np.random.default_rng(8)
+        B, N, K, C, k = 1, 128, 2, 4, 4
+        tgt = jnp.asarray(
+            rng.uniform(-10, 10, (B, N, 3)).astype(np.float32))
+        feat = jnp.asarray(rng.normal(size=(B, N, 5)).astype(np.float32))
+        centers = jnp.asarray(
+            rng.uniform(-8, 8, (B, K, 3)).astype(np.float32))
+        cand = centers[:, :, None, :] + jnp.asarray(
+            rng.uniform(-1, 1, (B, K, C, 3)).astype(np.float32))
+
+        def loss(ft, use_pallas):
+            rows = jnp.concatenate([tgt, ft], axis=-1)
+            out = two_level_rows(tgt, rows, centers, cand, k,
+                                 table_size=64, use_pallas=use_pallas)
+            return jnp.sum(out[..., 3:] ** 2)
+
+        g_pal = jax.grad(lambda ft: loss(ft, True))(feat)
+        g_xla = jax.grad(lambda ft: loss(ft, False))(feat)
+        np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_xla),
+                                   atol=1e-5)
