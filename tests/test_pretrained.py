@@ -5,6 +5,8 @@ scratch); this framework commits campaign checkpoints and exposes them
 by name. These tests pin the registry contract: every entry restores,
 carries its arch provenance into the config, and drives end to end."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -103,3 +105,32 @@ def test_cascade_end_to_end():
 def test_unknown_cascade_raises():
     with pytest.raises(KeyError, match="available"):
         pretrained.cascade("no-such-cascade")
+
+
+def test_arch_provenance_sa_radii_and_unapplied_keys(tmp_path, monkeypatch):
+    """sa_radii provenance must land in cfg.sa_layers; unknown
+    fingerprint keys must warn loudly (round-4 advisor: this loader
+    applies provenance silently, unlike Trainer.load_checkpoint)."""
+    import json
+    import shutil
+    import warnings
+
+    entry = pretrained.REGISTRY["modelnet-coarse"]
+    src_path = os.path.join(pretrained._ROOT, entry["path"])
+    if not os.path.isdir(src_path):
+        pytest.skip("checkpoint not present")
+    ck = tmp_path / "final"
+    shutil.copytree(src_path, ck)
+    arch = json.load(open(src_path + ".arch.json"))
+    arch["sa_radii"] = [0.11, 0.22, 0.44]
+    arch["future_semantics_flag"] = True
+    with open(str(ck) + ".arch.json", "w") as fh:
+        json.dump(arch, fh)
+    monkeypatch.setitem(
+        pretrained.REGISTRY, "tmp-model",
+        dict(entry, path=os.path.relpath(str(ck), pretrained._ROOT)))
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        cfg, variables = pretrained.load("tmp-model", num_points=128)
+    assert [l.radius for l in cfg.sa_layers] == [0.11, 0.22, 0.44]
+    assert any("future_semantics_flag" in str(w.message) for w in rec)
