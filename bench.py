@@ -101,7 +101,23 @@ def main() -> None:
         return np.asarray(out.R)
 
     t0 = time.time()
-    run_sync()
+    # the default engages the two-level Pallas path; if this backend's
+    # Mosaic lowering rejects it, degrade (kernel off, then flat) so the
+    # headline bench reports a number instead of a stack trace
+    import dataclasses as _dc
+
+    for fallback in ({"use_pallas_onehot_gather": False},
+                     {"tgt_knn": "flat"}):
+        try:
+            run_sync()
+            break
+        except Exception as e:  # noqa: BLE001
+            print(f"bench path failed ({type(e).__name__}: {e}); "
+                  f"falling back to {fallback}", file=sys.stderr)
+            cfg = _dc.replace(cfg, **fallback)
+            reg = Registrar(cfg, variables)
+    else:
+        run_sync()  # last config gets no safety net — raise for real
     print(f"compile + first run: {time.time() - t0:.1f}s", file=sys.stderr)
 
     for _ in range(max(args.warmup - 1, 0)):
