@@ -94,11 +94,11 @@ def so3_global_init(
     tgt: jax.Array,
     n_rotations: int = 2048,
     n_src: int = 96,
-    n_tgt: int = 1024,
+    n_tgt: int = 4096,
     top_p: int = 16,
     icp_iters: int = 6,
     inlier_ratio: float = 0.7,
-    sweep_chunk: int = 128,
+    sweep_chunk: int = 64,
 ) -> GlobalInit:
     """Coarse global alignment of [B, N, 3(+C)] cloud pairs.
 
@@ -109,13 +109,23 @@ def so3_global_init(
     samples cover to ~17 deg (measured by the basin test); anisotropic
     real clouds are easier. The sweep is chunked (`sweep_chunk`
     rotations per lax.map step) to bound the [B, cg*S, T] distance
-    tile; total MXU work at the defaults is ~0.6 GFLOP per batch
-    element — sub-millisecond on a v5e, the two FE passes it precedes
-    cost more.
+    tile; total MXU work at the defaults is ~2.4 GFLOP per batch
+    element — milliseconds on a v5e, comparable to one FE pass.
+
+    TARGET-DENSITY CONTRACT (round-5 campaign W4 failure, fixed): the
+    score's noise floor is the target subsample's own NN spacing
+    ~ (cloud_volume / n_tgt)^(1/3), and the rotation signal at the
+    grid's covering radius is ~ 2 sin(8.5 deg) * cloud_rms. With the
+    old default n_tgt=1024 on an N=10k cloud the floor matched the
+    signal and the sweep returned noise (114 deg on the held
+    full-SO(3) protocol); n_tgt must stay >= ~4096 — only lower it
+    for small clouds (it is clamped to N anyway).
     """
     src_xyz = src[..., :3]
     tgt_xyz = tgt[..., :3]
     B = src_xyz.shape[0]
+    n_src = min(n_src, src_xyz.shape[-2])
+    n_tgt = min(n_tgt, tgt_xyz.shape[-2])
 
     # 1-2: subsample (FPS: coverage beats uniform for scoring) + center
     s_idx = farthest_point_sample(src_xyz, n_src)           # [B, S]

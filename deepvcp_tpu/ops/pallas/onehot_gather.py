@@ -43,11 +43,14 @@ from jax.experimental import pallas as pl
 
 
 def _onehot_gather_kernel(idx_ref, table_ref, out_ref):
-    # idx_ref [1, 1, 1, bq] int32; table_ref [1, 1, T, Dpad] f32;
-    # out_ref [1, 1, bq, Dpad] f32
+    # idx_ref [1, 1, 1, 8, bq] int32 (lane-major, replicated over the 8
+    # sublanes — Mosaic requires the last two block dims divisible by
+    # (8, 128), so a [1, bq] index block is not lowerable; the round-5
+    # campaign W1 failed on exactly that);
+    # table_ref [1, 1, T, Dpad] f32; out_ref [1, 1, bq, Dpad] f32
     T = table_ref.shape[2]
-    bq = idx_ref.shape[3]
-    idx_row = idx_ref[0, 0, :, :]                          # [1, bq]
+    bq = idx_ref.shape[4]
+    idx_row = idx_ref[0, 0, 0, 0:1, :]                     # [1, bq]
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (T, bq), 0)
     match = (iota_t == jnp.broadcast_to(idx_row, (T, bq))).astype(
         jnp.float32)                                       # [T, bq]
@@ -89,13 +92,16 @@ def onehot_gather(
     if Qpad != Q:
         idx_p = jnp.concatenate(
             [idx_p, jnp.zeros((B, K, Qpad - Q), jnp.int32)], axis=-1)
-    idx_p = idx_p.reshape(B, K, Qpad // bq, bq)
+    # replicate over 8 sublanes for the (8, 128) block-divisibility rule
+    idx_p = jnp.broadcast_to(
+        idx_p.reshape(B, K, Qpad // bq, 1, bq),
+        (B, K, Qpad // bq, 8, bq))
 
     out = pl.pallas_call(
         _onehot_gather_kernel,
         grid=(B, K, Qpad // bq),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, bq), lambda b, k, q: (b, k, q, 0)),
+            pl.BlockSpec((1, 1, 1, 8, bq), lambda b, k, q: (b, k, q, 0, 0)),
             pl.BlockSpec((1, 1, Tpad, Dpad), lambda b, k, q: (b, k, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
@@ -115,13 +121,14 @@ def onehot_gather(
 
 
 def _onehot_scatter_kernel(idx_ref, dout_ref, dtab_ref):
-    # idx_ref [1, 1, 1, bq]; dout_ref [1, 1, bq, Dpad];
+    # idx_ref [1, 1, 1, 8, bq] (sublane-replicated, see gather kernel);
+    # dout_ref [1, 1, bq, Dpad];
     # dtab_ref [1, 1, T, Dpad] — revisited across the q grid dim:
     # initialize on the first step, accumulate after.
     T = dtab_ref.shape[2]
-    bq = idx_ref.shape[3]
+    bq = idx_ref.shape[4]
     q = pl.program_id(2)
-    idx_row = idx_ref[0, 0, :, :]                          # [1, bq]
+    idx_row = idx_ref[0, 0, 0, 0:1, :]                     # [1, bq]
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (T, bq), 0)
     match = (iota_t == jnp.broadcast_to(idx_row, (T, bq))).astype(
         jnp.float32)                                       # [T, bq]
@@ -158,12 +165,14 @@ def _scatter_add(dout: jax.Array, idx: jax.Array, T: int,
         # padding rows carry idx T (out of range -> matches no table row)
         idx_p = jnp.concatenate(
             [idx_p, jnp.full((B, K, Qpad - Q), T, jnp.int32)], axis=-1)
-    idx_p = idx_p.reshape(B, K, Qpad // bq, bq)
+    idx_p = jnp.broadcast_to(
+        idx_p.reshape(B, K, Qpad // bq, 1, bq),
+        (B, K, Qpad // bq, 8, bq))
     out = pl.pallas_call(
         _onehot_scatter_kernel,
         grid=(B, K, Qpad // bq),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, bq), lambda b, k, q: (b, k, q, 0)),
+            pl.BlockSpec((1, 1, 1, 8, bq), lambda b, k, q: (b, k, q, 0, 0)),
             pl.BlockSpec((1, 1, bq, Dpad), lambda b, k, q: (b, k, q, 0)),
         ],
         out_specs=pl.BlockSpec(

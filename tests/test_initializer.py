@@ -54,3 +54,19 @@ def test_deterministic():
     a = so3_global_init(src, tgt, n_rotations=128, n_src=64, n_tgt=256)
     b = so3_global_init(src, tgt, n_rotations=128, n_src=64, n_tgt=256)
     np.testing.assert_array_equal(np.asarray(a.R), np.asarray(b.R))
+
+
+def test_sparse_target_coverage_regression():
+    """Round-5 campaign W4 regression: at N >> n_tgt the target
+    subsample's NN spacing must not swamp the rotation signal. N=4096
+    with the default n_tgt cap must still land inside the basin (the
+    old n_tgt=1024 default returned ~random rotations here)."""
+    from deepvcp_tpu.data import SyntheticDataset, batch_iterator
+
+    ds = SyntheticDataset(num_clouds=2, num_points=4096, extent=1.0,
+                          seed=104, noise_std=0.01)
+    src, tgt, R_gt, t_gt = (jnp.asarray(a) for a in
+                            next(batch_iterator(ds, 2, epoch=0, seed=0)))
+    init = so3_global_init(src, tgt, n_rotations=1024)
+    rre = np.asarray(rotation_geodesic_deg(init.R, R_gt))
+    assert (rre < 10.0).all(), rre
