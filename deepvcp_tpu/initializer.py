@@ -11,21 +11,19 @@ module finishes the "works on unlabeled cloud pairs" contract
 (registration.py:1-10): bring any pair into the refiner's basin.
 
 TPU-first design — no RANSAC hypothesis loops or data-dependent
-control flow; everything is a dense batched scoring problem:
+control flow; everything is a dense batched problem:
 
-  1. subsample both clouds (FPS for coverage, ops/sampling.py);
-  2. center both (the rotation search runs about the centroids —
-     for overlapping clouds the centroid difference absorbs most of
-     the translation);
-  3. score a FIXED super-Fibonacci rotation grid (Alexa, CVPR 2022:
-     near-optimal SO(3) covering; ~25 deg covering radius at 512
-     samples) by the trimmed mean nearest-neighbor distance of the
-     rotated source subsample into the target subsample — one
-     [G*S, T] distance tile that rides the MXU;
-  4. take the top-P rotations and run a few trimmed-NN Kabsch (ICP)
-     iterations from each — `lax.scan` over a static iteration count,
-     every hypothesis batched together;
-  5. return the hypothesis with the best final trimmed score.
+  1. subsample both clouds (FPS for coverage, ops/sampling.py) into a
+     coarse and a fine target level; center about the full-cloud
+     centroids (which absorb most of the translation);
+  2. run coarse-level trimmed-NN Kabsch ICP from EVERY rotation of a
+     FIXED super-Fibonacci grid (Alexa, CVPR 2022: near-optimal SO(3)
+     covering), all hypotheses batched, chunked via `lax.map`;
+  3. rescore every converged hypothesis at the fine level, fine-ICP
+     the top_p survivors, return the best final score.
+
+See so3_global_init's docstring for why there is no cheap score-sweep
+pre-ranking stage (three measured failure modes).
 
 The returned pose feeds Registrar / CascadeRegistrar as (R_init,
 t_init); their guard then scores it as column 0, so a pathological
@@ -86,46 +84,57 @@ def _trimmed_score(d2_min: jax.Array, keep: int) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_rotations", "n_src", "n_tgt", "top_p",
-                     "icp_iters", "inlier_ratio", "sweep_chunk"),
+    static_argnames=("n_rotations", "n_src", "n_tgt", "n_coarse",
+                     "top_p", "icp_iters", "icp_coarse_iters",
+                     "inlier_ratio", "sweep_chunk"),
 )
 def so3_global_init(
     src: jax.Array,
     tgt: jax.Array,
-    n_rotations: int = 2048,
-    n_src: int = 96,
+    n_rotations: int = 4096,
+    n_src: int = 128,
     n_tgt: int = 4096,
-    top_p: int = 16,
-    icp_iters: int = 6,
+    n_coarse: int = 256,
+    top_p: int = 64,
+    icp_iters: int = 4,
+    icp_coarse_iters: int = 3,
     inlier_ratio: float = 0.7,
     sweep_chunk: int = 64,
 ) -> GlobalInit:
     """Coarse global alignment of [B, N, 3(+C)] cloud pairs.
 
-    Grid sizing: ICP's basin on structure-poor (near-isotropic) clouds
-    is roughly the rotation that displaces points by one NN spacing —
-    ~25 deg at 512 subsampled points of a unit cloud — so the sweep
-    must cover SO(3) to at least that radius. 2048 super-Fibonacci
-    samples cover to ~17 deg (measured by the basin test); anisotropic
-    real clouds are easier. The sweep is chunked (`sweep_chunk`
-    rotations per lax.map step) to bound the [B, cg*S, T] distance
-    tile; total MXU work at the defaults is ~2.4 GFLOP per batch
-    element — milliseconds on a v5e, comparable to one FE pass.
+    DESIGN (settled by three measured failures of sweep-then-refine,
+    round-5 campaign W4): a correspondence-FREE score cannot rank the
+    true rotation above the symmetry twins of a near-symmetric cloud
+    support (a uniform cube maps to itself under the octahedral
+    group), and on dense clouds its basin (~arcsin(NN spacing /
+    cloud_rms)) is far narrower than any affordable rotation grid's
+    covering radius — worse, boundary-biased FPS subsampling made the
+    near-truth grid point score BELOW the random floor (rank 396 of
+    4096, measured). So there is no sweep pre-ranking at all:
 
-    TARGET-DENSITY CONTRACT (round-5 campaign W4 failure, fixed): the
-    score's noise floor is the target subsample's own NN spacing
-    ~ (cloud_volume / n_tgt)^(1/3), and the rotation signal at the
-    grid's covering radius is ~ 2 sin(8.5 deg) * cloud_rms. With the
-    old default n_tgt=1024 on an N=10k cloud the floor matched the
-    signal and the sweep returned noise (114 deg on the held
-    full-SO(3) protocol); n_tgt must stay >= ~4096 — only lower it
-    for small clouds (it is clamped to N anyway).
+      1. coarse-level trimmed-NN Kabsch ICP runs on EVERY grid
+         rotation (n_rotations=4096, covering ~13.5 deg; coarse level
+         n_coarse=256 FPS points whose ~0.31 spacing gives an ~18 deg
+         ICP basin > covering radius), chunked over hypotheses — some
+         hypothesis always converges into the true optimum;
+      2. the FINE level (n_tgt=4096, clamped to N) rescores every
+         converged hypothesis: exact point correspondences are the
+         only signal that separates the true class from its twins;
+      3. the top_p fine-scored survivors get fine-level ICP and the
+         best final score wins.
+
+    The coarse level is the FPS prefix of the fine level (FPS orderings
+    are nested), so one FPS pass serves both. Everything is dense,
+    static-shaped, chunked via lax.map — ~15 GFLOP per batch element
+    at the defaults, milliseconds of MXU time on a v5e.
     """
     src_xyz = src[..., :3]
     tgt_xyz = tgt[..., :3]
     B = src_xyz.shape[0]
     n_src = min(n_src, src_xyz.shape[-2])
     n_tgt = min(n_tgt, tgt_xyz.shape[-2])
+    n_coarse = min(n_coarse, n_tgt)
 
     # 1-2: subsample (FPS: coverage beats uniform for scoring) + center
     s_idx = farthest_point_sample(src_xyz, n_src)           # [B, S]
@@ -135,11 +144,60 @@ def so3_global_init(
     s_mean = jnp.mean(src_xyz, axis=-2, keepdims=True)      # full-cloud
     t_mean = jnp.mean(tgt_xyz, axis=-2, keepdims=True)      # centroids
     s_c = s_sub - s_mean
-    t_c = t_sub - t_mean
-
-    # 3: rotation sweep, chunked over the grid
-    grid = super_fibonacci_rotations(n_rotations, src_xyz.dtype)
+    t_c = t_sub - t_mean                                    # fine level
+    t_cc = t_c[:, :n_coarse]                                # coarse level
     keep = max(int(n_src * inlier_ratio), 3)
+
+    grid = super_fibonacci_rotations(n_rotations, src_xyz.dtype)
+
+    def icp_stage(R0, t0, t_lvl, iters):
+        """Batched trimmed-NN Kabsch on [B, P, ...] hypothesis sets."""
+        P = R0.shape[1]
+        s_bc = jnp.broadcast_to(s_c[:, None], (B, P) + s_c.shape[1:])
+
+        def icp_step(carry, _):
+            R, t = carry
+            y = jnp.einsum("bpsj,bpij->bpsi", s_bc, R) + t[..., None, :]
+            d2 = square_distance(
+                y.reshape(B * P, n_src, 3),
+                jnp.repeat(t_lvl, P, axis=0),
+            ).reshape(B, P, n_src, -1)
+            nn_d2 = jnp.min(d2, axis=-1)
+            nn_ix = jnp.argmin(d2, axis=-1)                 # [B, P, S]
+            corr = jnp.take_along_axis(
+                jnp.broadcast_to(
+                    t_lvl[:, None], d2.shape[:2] + t_lvl.shape[1:]),
+                nn_ix[..., None], axis=-2)                  # [B, P, S, 3]
+            # trimmed weights: keep the closest `keep` correspondences
+            thresh = -jax.lax.top_k(-nn_d2, keep)[0][..., -1:]
+            w = (nn_d2 <= thresh).astype(src_xyz.dtype)
+            Rn, tn = kabsch(
+                s_bc.reshape(B * P, n_src, 3),
+                corr.reshape(B * P, n_src, 3),
+                weights=w.reshape(B * P, n_src),
+            )
+            return (Rn.reshape(B, P, 3, 3), tn.reshape(B, P, 3)), None
+
+        (Rf, tf), _ = jax.lax.scan(icp_step, (R0, t0), None,
+                                   length=iters)
+        return Rf, tf
+
+    def score_all(R, t, t_lvl):
+        """Trimmed fine/coarse score of [B, P, ...] hypotheses."""
+        P = R.shape[1]
+        s_bc = jnp.broadcast_to(s_c[:, None], (B, P) + s_c.shape[1:])
+        y = jnp.einsum("bpsj,bpij->bpsi", s_bc, R) + t[..., None, :]
+        d2 = square_distance(
+            y.reshape(B * P, n_src, 3), jnp.repeat(t_lvl, P, axis=0)
+        ).reshape(B, P, n_src, -1)
+        return _trimmed_score(jnp.min(d2, axis=-1), keep)   # [B, P]
+
+    # 3: coarse ICP on EVERY grid rotation, chunked over hypotheses.
+    # The coarse basin (~18 deg) exceeds the grid's covering radius
+    # (~13.5 deg), so some chunk member always converges to the true
+    # optimum — no sweep pre-ranking needed (and none works: a
+    # correspondence-free score cannot rank the true class above
+    # symmetry twins of a near-symmetric cloud support).
     cg = min(sweep_chunk, n_rotations)
     n_chunks = -(-n_rotations // cg)
     pad = n_chunks * cg - n_rotations
@@ -147,58 +205,30 @@ def so3_global_init(
         [grid, jnp.broadcast_to(jnp.eye(3, dtype=grid.dtype),
                                 (pad, 3, 3))], axis=0) if pad else grid
 
-    def sweep(g):                                           # [cg, 3, 3]
-        rs = jnp.einsum("bsj,gij->bgsi", s_c, g)
-        d2 = square_distance(
-            rs.reshape(B, cg * n_src, 3), t_c
-        ).reshape(B, cg, n_src, -1)
-        return _trimmed_score(jnp.min(d2, axis=-1), keep)   # [B, cg]
+    def coarse_chunk(g):                                    # [cg, 3, 3]
+        R0 = jnp.broadcast_to(g[None], (B, cg, 3, 3))
+        t0 = jnp.zeros((B, cg, 3), src_xyz.dtype)
+        Rc, tc = icp_stage(R0, t0, t_cc, icp_coarse_iters)
+        # 4: FINE-level rescore breaks symmetry ties — only exact point
+        # correspondences distinguish the true class from its twins
+        sc = score_all(Rc, tc, t_c)
+        return Rc, tc, sc
 
-    scores = jax.lax.map(
-        sweep, grid_p.reshape(n_chunks, cg, 3, 3)
-    )                                                       # [nc, B, cg]
-    scores = jnp.moveaxis(scores, 1, 0).reshape(B, n_chunks * cg)
-    scores = scores[:, :n_rotations]                        # [B, G]
-    _, best_g = jax.lax.top_k(-scores, top_p)               # [B, P]
-    R0 = grid[best_g]                                       # [B, P, 3, 3]
+    Rc, tc, sc = jax.lax.map(
+        coarse_chunk, grid_p.reshape(n_chunks, cg, 3, 3))
+    Rc = jnp.moveaxis(Rc, 1, 0).reshape(B, n_chunks * cg, 3, 3)
+    tc = jnp.moveaxis(tc, 1, 0).reshape(B, n_chunks * cg, 3)
+    sc = jnp.moveaxis(sc, 1, 0).reshape(B, n_chunks * cg)
+    sc = jnp.where(
+        jnp.arange(n_chunks * cg) < n_rotations, sc, jnp.inf)
+    _, best = jax.lax.top_k(-sc, top_p)                     # [B, P]
+    R0 = jnp.take_along_axis(
+        Rc, best[..., None, None].repeat(3, -2).repeat(3, -1), axis=1)
+    t0 = jnp.take_along_axis(tc, best[..., None].repeat(3, -1), axis=1)
 
-    # 4: trimmed-NN Kabsch (ICP) from each hypothesis, all batched.
-    # State: R [B, P, 3, 3], t [B, P, 3] mapping centered-src ->
-    # centered-tgt frames.
-    t0 = jnp.zeros((B, top_p, 3), src_xyz.dtype)
-    s_bc = jnp.broadcast_to(s_c[:, None], (B, top_p) + s_c.shape[1:])
-
-    def icp_step(carry, _):
-        R, t = carry
-        y = jnp.einsum("bpsj,bpij->bpsi", s_bc, R) + t[..., None, :]
-        d2 = square_distance(
-            y.reshape(B * top_p, n_src, 3),
-            jnp.repeat(t_c, top_p, axis=0),
-        ).reshape(B, top_p, n_src, -1)
-        nn_d2 = jnp.min(d2, axis=-1)
-        nn_ix = jnp.argmin(d2, axis=-1)                     # [B, P, S]
-        corr = jnp.take_along_axis(
-            jnp.broadcast_to(t_c[:, None], d2.shape[:2] + t_c.shape[1:]),
-            nn_ix[..., None], axis=-2)                      # [B, P, S, 3]
-        # trimmed weights: keep the closest `keep` correspondences
-        thresh = -jax.lax.top_k(-nn_d2, keep)[0][..., -1:]
-        w = (nn_d2 <= thresh).astype(src_xyz.dtype)
-        Rn, tn = kabsch(
-            s_bc.reshape(B * top_p, n_src, 3),
-            corr.reshape(B * top_p, n_src, 3),
-            weights=w.reshape(B * top_p, n_src),
-        )
-        return (Rn.reshape(B, top_p, 3, 3),
-                tn.reshape(B, top_p, 3)), None
-
-    (Rf, tf), _ = jax.lax.scan(icp_step, (R0, t0), None, length=icp_iters)
-
-    # 5: final scoring and hypothesis selection
-    y = jnp.einsum("bpsj,bpij->bpsi", s_bc, Rf) + tf[..., None, :]
-    d2 = square_distance(
-        y.reshape(B * top_p, n_src, 3), jnp.repeat(t_c, top_p, axis=0)
-    ).reshape(B, top_p, n_src, -1)
-    final = _trimmed_score(jnp.min(d2, axis=-1), keep)      # [B, P]
+    # 5: fine-level ICP on the survivors + final scoring
+    Rf, tf = icp_stage(R0, t0, t_c, icp_iters)
+    final = score_all(Rf, tf, t_c)                          # [B, P]
     pick = jnp.argmin(final, axis=-1)                       # [B]
     Rb = jnp.take_along_axis(
         Rf, pick[:, None, None, None].repeat(3, -2).repeat(3, -1), axis=1

@@ -58,6 +58,11 @@ def _onehot_gather_kernel(idx_ref, table_ref, out_ref):
         match, table_ref[0, 0],
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # HIGHEST: the TPU MXU's default f32 mode runs reduced-precision
+        # passes, which rounds the gathered VALUES (bit_exact=False on
+        # real hardware, campaign W1). A one-hot matmul only multiplies
+        # by 1.0/0.0, so full precision restores exactness.
+        precision=jax.lax.Precision.HIGHEST,
     )                                                      # [bq, Dpad]
 
 
@@ -136,6 +141,7 @@ def _onehot_scatter_kernel(idx_ref, dout_ref, dtab_ref):
         match, dout_ref[0, 0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )                                                      # [T, Dpad]
 
     @pl.when(q == 0)

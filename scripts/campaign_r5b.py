@@ -82,18 +82,21 @@ def main():
             out = onehot_gather(table, idx)
             ref = jnp.take_along_axis(table, idx[..., None], axis=-2)
             exact = bool((fetch(out) == fetch(ref)).all())
-            t_pal = timeit(lambda: fetch(onehot_gather(table, idx)))
+            # fetch a CHECKSUM, not the 62 MB output: the tunnel moves
+            # ~30 MB/s, so a full-array fetch times the relay, not the
+            # device (first W1 measured 2-3 SECONDS of pure transfer)
+            g_pal = jax.jit(lambda tb, ix: jnp.sum(onehot_gather(tb, ix)))
+            t_pal = timeit(lambda: fetch(g_pal(table, idx)))
             f_xla = jax.jit(
-                lambda tb, ix: jnp.take_along_axis(
-                    tb, ix[..., None], axis=-2))
+                lambda tb, ix: jnp.sum(jnp.take_along_axis(
+                    tb, ix[..., None], axis=-2)))
             t_xla = timeit(lambda: fetch(f_xla(table, idx)))
             c.save("W1_onehot_tpu", {
                 "bit_exact": exact,
                 "pallas_ms": round(t_pal * 1e3, 3),
                 "xla_gather_ms": round(t_xla * 1e3, 3),
-                "note": "times include one host round trip (~23 ms on "
-                        "the tunnel); compare the difference, not the "
-                        "absolute values",
+                "note": "checksum fetch; times still include one ~23 ms "
+                        "tunnel round trip - compare the difference",
             })
         except Exception:
             c.save("W1_onehot_tpu", {"error": traceback.format_exc()})

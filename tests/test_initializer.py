@@ -70,3 +70,20 @@ def test_sparse_target_coverage_regression():
     init = so3_global_init(src, tgt, n_rotations=1024)
     rre = np.asarray(rotation_geodesic_deg(init.R, R_gt))
     assert (rre < 10.0).all(), rre
+
+
+def test_dense_cloud_symmetry_twins_regression():
+    """The W4 post-mortem distilled (see so3_global_init docstring):
+    dense cloud + near-symmetric support. The ICP-all design must land
+    every pair in the refiner's basin; the retired sweep-then-refine
+    designs locked onto octahedral twins (~90-180 deg) on such pairs."""
+    from deepvcp_tpu.data import SyntheticDataset, batch_iterator
+
+    ds = SyntheticDataset(num_clouds=2, num_points=10000, extent=1.0,
+                          seed=102, noise_std=0.01)
+    src, tgt, R_gt, t_gt = (jnp.asarray(a) for a in
+                            next(batch_iterator(ds, 2, epoch=0, seed=777,
+                                                shuffle=False)))
+    init = so3_global_init(src, tgt)
+    rre = np.asarray(rotation_geodesic_deg(init.R, R_gt))
+    assert (rre < 10.0).all(), rre
