@@ -223,6 +223,82 @@ def main():
         except Exception:
             c.save("W3_twolevel_tax", {"error": traceback.format_exc()})
 
+    # --- W5: two-level stage attribution ----------------------------------
+    # W2 measured two-level SLOWER end-to-end than flat (17.6 vs 7.8 ms
+    # stream) — break the path into its stages to find the regression:
+    # level-1 top-T selection, table gather, level-2 selection, and the
+    # two gather variants (Pallas one-hot vs XLA take_along_axis).
+    if not c.done("W5_stage_split") and not TINY:
+        try:
+            from deepvcp_tpu.ops.grouping import index_points
+            from deepvcp_tpu.ops.knn import approx_knn
+            from deepvcp_tpu.ops.pallas.onehot_gather import onehot_gather
+            from deepvcp_tpu.ops.two_level import two_level_rows
+
+            rng = np.random.default_rng(3)
+            N, K, C, k, T, D = 10000, 64, 216, 32, 512, 35
+            tgt_xyz = jnp.asarray(
+                rng.uniform(-10, 10, (1, N, 3)).astype(np.float32))
+            rows = jnp.concatenate(
+                [tgt_xyz, jnp.asarray(rng.normal(
+                    size=(1, N, D - 3)).astype(np.float32))], axis=-1)
+            kp = jnp.asarray(
+                rng.uniform(-8, 8, (1, K, 3)).astype(np.float32))
+            cand = kp[:, :, None, :] + jnp.asarray(
+                rng.uniform(-1, 1, (1, K, C, 3)).astype(np.float32))
+            table = jnp.asarray(rng.normal(
+                size=(1, K, T, D)).astype(np.float32))
+            idx_q = jnp.asarray(rng.integers(
+                0, T, (1, K, C * k)).astype(np.int32))
+            flat_q = cand.reshape(1, K * C, 3)
+
+            res = {}
+
+            def t_of(f, *a):
+                g = jax.jit(lambda *aa: jnp.sum(f(*aa)))
+                return round(timeit(lambda: fetch(g(*a))) * 1e3, 3)
+
+            res["l1_top512_bf16"] = t_of(
+                lambda t_, q_: approx_knn(
+                    t_, q_, T, select_dtype="bfloat16")[1],
+                tgt_xyz, kp)
+            res["l1_top512_f32"] = t_of(
+                lambda t_, q_: approx_knn(t_, q_, T)[1], tgt_xyz, kp)
+            res["table_gather"] = t_of(
+                lambda r_, t_, q_: index_points(
+                    r_, approx_knn(t_, q_, T,
+                                   select_dtype="bfloat16")[1]),
+                rows, tgt_xyz, kp)
+            res["pallas_onehot"] = t_of(onehot_gather, table, idx_q)
+            res["xla_table_gather"] = t_of(
+                lambda tb, ix: jnp.take_along_axis(
+                    tb, ix[..., None], axis=-2), table, idx_q)
+            res["two_level_full"] = t_of(
+                lambda t_, r_, k_, c_: two_level_rows(
+                    t_, r_, k_, c_, k, table_size=T,
+                    select_dtype="bfloat16", use_pallas=True),
+                tgt_xyz, rows, kp, cand)
+            res["two_level_full_xla"] = t_of(
+                lambda t_, r_, k_, c_: two_level_rows(
+                    t_, r_, k_, c_, k, table_size=T,
+                    select_dtype="bfloat16", use_pallas=False),
+                tgt_xyz, rows, kp, cand)
+            # flat-path reference stages at the same operating point
+            res["flat_knn"] = t_of(
+                lambda t_, q_: approx_knn(
+                    t_, q_, k, chunk=4608, select_dtype="bfloat16")[1],
+                tgt_xyz, flat_q)
+            res["flat_gather"] = t_of(
+                lambda r_, t_, q_: index_points(
+                    r_, approx_knn(t_, q_, k, chunk=4608,
+                                   select_dtype="bfloat16")[1]),
+                rows, tgt_xyz, flat_q)
+            res["note"] = ("checksum fetch; subtract the ~23 ms tunnel "
+                           "round trip common to every row")
+            c.save("W5_stage_split", res)
+        except Exception:
+            c.save("W5_stage_split", {"error": traceback.format_exc()})
+
     # --- W4: global SO(3) initializer on noisy full-SO(3) pairs -----------
     if not c.done("W4_so3_noise"):
         try:
