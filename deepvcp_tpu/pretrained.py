@@ -242,3 +242,27 @@ def cascade(name: str, num_points: int = 10000, use_normal: bool = False,
         stages.append(Registrar(cfg, variables, refine_iters=iters,
                                 **registrar_kwargs))
     return CascadeRegistrar(stages)
+
+
+def routed_registrar(low: str = "modelnet-fine", high: str = "lidar-fine",
+                     num_points: int = 10000, use_normal: bool = False,
+                     **registrar_kwargs):
+    """Mixture-of-experts inference: route each pair to the specialist
+    trained on its density profile (registration.RoutedRegistrar — the
+    measured answer to the specialist/generalist trade-off: two 50/50
+    fine-tunes landed BETWEEN the specialists on both held sets,
+    campaign_r5 G1 / campaign_r5d G2). The experts must share one
+    architecture; 'low' serves uniform-density clouds, 'high' serves
+    density-gradient (lidar-like) clouds."""
+    from deepvcp_tpu.registration import RoutedRegistrar
+
+    cfg_l, v_l = load(low, num_points=num_points, use_normal=use_normal)
+    cfg_h, v_h = load(high, num_points=num_points, use_normal=use_normal)
+    if cfg_l != cfg_h:
+        raise ValueError(
+            f"experts {low!r} and {high!r} have different architectures "
+            f"— routing swaps variables under ONE compiled program")
+    registrar_kwargs.setdefault("use_saliency_weights", True)
+    registrar_kwargs.setdefault("refine_iters", 3)
+    return RoutedRegistrar(cfg_l, {"low": v_l, "high": v_h},
+                           **registrar_kwargs)

@@ -440,3 +440,77 @@ class CascadeRegistrar:
             out = inflight.popleft()
             np.asarray(out.R)
             yield out
+
+
+class RoutedRegistrar:
+    """Mixture-of-experts registration: route each input pair to the
+    specialist checkpoint trained on its distribution.
+
+    The round-4/5 campaigns settled that one set of weights cannot serve
+    both uniform-density and lidar-like clouds at ModelNet scale (the
+    lidar-heavy fine-tune wins lidar 2.12 deg but regresses uniform to
+    5.6; two 50/50-mix fine-tunes at different learning rates landed
+    between the specialists on BOTH sets — campaign_r5 G1 /
+    campaign_r5d G2). The product answer is routing, not retraining:
+    the specialists share one architecture and config, so selecting the
+    VARIABLES per input costs one tiny distance tile plus a parameter-
+    tree select, both in-graph (no host sync, one compiled program).
+
+    Router statistic: the coefficient of variation of 1-NN distances
+    over a strided 512-point subsample — dimensionless (scale-free) and
+    cleanly bimodal (measured: uniform clouds 0.51-0.58, lidar-like
+    0.92-1.15 across scales 1-25 m; threshold 0.75).
+    """
+
+    def __init__(
+        self,
+        cfg: DeepVCPConfig,
+        variants,
+        threshold: float = 0.75,
+        **registrar_kwargs,
+    ):
+        """variants: {"low": variables, "high": variables} — applied
+        when the router statistic falls below / above `threshold`
+        (low = uniform-like, high = lidar-like)."""
+        if set(variants) != {"low", "high"}:
+            raise ValueError(
+                f"variants must have keys 'low'/'high', got "
+                f"{sorted(variants)}")
+        self._reg = Registrar(cfg, variants["low"], **registrar_kwargs)
+        self.threshold = threshold
+        lo, hi = variants["low"], variants["high"]
+
+        def _route(src):
+            from deepvcp_tpu.ops import square_distance
+
+            xyz = src[..., :3]
+            step = max(xyz.shape[-2] // 512, 1)
+            sub = xyz[:, ::step][:, :512]
+            d2 = square_distance(sub, sub)
+            d2 = jnp.where(d2 <= 1e-12, jnp.inf, d2)  # drop self-match
+            nn = jnp.sqrt(jnp.min(d2, axis=-1))
+            cv = jnp.std(nn, axis=-1) / (jnp.mean(nn, axis=-1) + 1e-12)
+            is_high = jnp.mean(cv) > threshold  # one vote per batch
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(is_high, b, a), lo, hi), cv
+
+        self._route = jax.jit(_route)
+
+    @property
+    def cfg(self):
+        return self._reg.cfg
+
+    def __call__(
+        self,
+        src: jax.Array,
+        tgt: jax.Array,
+        R_init: Optional[jax.Array] = None,
+        t_init: Optional[jax.Array] = None,
+    ) -> RegistrationOutput:
+        variables, _ = self._route(src)
+        self._reg.variables = variables
+        return self._reg(src, tgt, R_init, t_init)
+
+    def route_statistic(self, src) -> jax.Array:
+        """The per-cloud router statistic (diagnostics)."""
+        return self._route(src)[1]

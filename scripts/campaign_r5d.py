@@ -126,6 +126,22 @@ def main():
         except Exception:
             c.save("G2_generalist_lr3e4", {"error": traceback.format_exc()})
 
+    # --- G3: mixture-of-experts routing (no training) ---------------------
+    # G1/G2 settled that one weight set cannot serve both distributions;
+    # the product answer routes each pair to its specialist
+    # (pretrained.routed_registrar). Eval on the same held protocol.
+    if not c.done("G3_routed") and not TINY:
+        try:
+            reg = pretrained.routed_registrar(num_points=N)
+            sweep = {name: eval_reg(reg, ds) for name, ds in held_g.items()}
+            res = {"registrar_iters3": sweep}
+            res["target_met"] = bool(
+                sweep["uniform_small"]["gt_free_rre_deg"] <= 2.0
+                and sweep["lidar_small"]["gt_free_rre_deg"] <= 3.0)
+            c.save("G3_routed", res)
+        except Exception:
+            c.save("G3_routed", {"error": traceback.format_exc()})
+
     print("[campaign_r5d] DONE", flush=True)
 
 

@@ -134,3 +134,34 @@ def test_arch_provenance_sa_radii_and_unapplied_keys(tmp_path, monkeypatch):
         cfg, variables = pretrained.load("tmp-model", num_points=128)
     assert [l.radius for l in cfg.sa_layers] == [0.11, 0.22, 0.44]
     assert any("future_semantics_flag" in str(w.message) for w in rec)
+
+
+def test_routed_registrar_routes_by_density():
+    """Mixture-of-experts routing: the density statistic must pick the
+    lidar expert for lidar-like clouds and the uniform expert for
+    uniform clouds, end to end through the public surface."""
+    from deepvcp_tpu.data import LidarLikeDataset, SyntheticDataset, \
+        batch_iterator
+
+    try:
+        reg = pretrained.routed_registrar(num_points=512, refine_iters=1)
+    except FileNotFoundError:
+        pytest.skip("expert checkpoints not present")
+    uni = SyntheticDataset(num_clouds=2, num_points=512, extent=1.0,
+                           seed=100, max_rotation_deg=10.0,
+                           max_translation=0.5)
+    lid = LidarLikeDataset(num_clouds=2, num_points=512, max_range=1.0,
+                           seed=101, max_rotation_deg=10.0,
+                           max_translation=0.5)
+    su, *_ = next(batch_iterator(uni, 2, epoch=0, seed=0))
+    sl, *_ = next(batch_iterator(lid, 2, epoch=0, seed=0))
+    cv_u = np.asarray(reg.route_statistic(jnp.asarray(su)))
+    cv_l = np.asarray(reg.route_statistic(jnp.asarray(sl)))
+    assert (cv_u < reg.threshold).all(), cv_u
+    assert (cv_l > reg.threshold).all(), cv_l
+    # and both route end-to-end with a non-worsening guard
+    for ds in (uni, lid):
+        srcb, tgtb, Rb, tb = next(batch_iterator(ds, 2, epoch=0, seed=0))
+        out = reg(jnp.asarray(srcb), jnp.asarray(tgtb))
+        sc = np.asarray(out.scores)
+        assert (sc.min(axis=1) <= sc[:, 0] + 1e-7).all()
