@@ -173,19 +173,24 @@ class DeepVCPConfig:
     # checkpoint evaluates under any setting.
     candidate_knn: str = "auto"
     # Target-branch candidate grouping structure (ops/two_level.py):
+    #   "flat"      the flat [K*C, N] path (the reference's shape,
+    #               get_cat_feat_tgt.py:44-52) — THE MEASURED DEFAULT;
+    #   "two_level" per-keypoint top-T table, keypoint-local selection
+    #               (bf16-safe at any absolute scale), one-hot MXU
+    #               gather (ops/pallas/onehot_gather.py);
     #   "auto"      two-level when the candidate cube is small relative
     #               to the cloud (extent >= 8x grid reach) AND approx
-    #               selection is in play — the regime where one
-    #               per-keypoint top-T table covers every candidate's
-    #               k-NN (coverage bound in the module docstring);
-    #   "two_level" force the two-level path;
-    #   "flat"      force the flat [K*C, N] path (the reference's shape,
-    #               get_cat_feat_tgt.py:44-52).
-    # Two-level replaces the [13824, 10000] selection tile with a
-    # [64, 10000] one, cuts gathered rows 13x, selects in keypoint-LOCAL
-    # coordinates (bf16-safe at any absolute scale), and gathers through
-    # the one-hot MXU kernel (ops/pallas/onehot_gather.py).
-    tgt_knn: str = "auto"
+    #               selection is in play (the coverage regime).
+    # MEASURED (round-5 campaign W2/W3, v5e, N=10k): despite replacing
+    # the [13824, 10000] selection tile with a [64, 10000] one and
+    # cutting gathered rows 13x, two-level is ~2x SLOWER end to end
+    # (17.6 vs 7.8 ms/pair stream) and costs +0.33 deg GT-free RRE at
+    # KITTI scale (models are trained with flat approx selection, and
+    # the flat tax vs exact is NEGATIVE - see T1). Stage attribution in
+    # artifacts/campaign_r5b W5. Default stays "flat" until a variant
+    # measures faster; "two_level" remains for memory-bound cases (it
+    # never materializes the [K*C, N] tile).
+    tgt_knn: str = "flat"
     # T: table rows per keypoint for the two-level path.
     tgt_knn_table: int = 512
     # Route the two-level row gather through the one-hot MXU kernel on

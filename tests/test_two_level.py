@@ -109,13 +109,16 @@ class TestTwoLevelRows:
 
     def test_config_gate(self):
         base = DeepVCPConfig(num_points=1024, use_normal=False)
-        # default operating point: extent 20, reach 1.2 -> two-level on
-        assert base.use_two_level_tgt_knn
+        # measured default: flat (two-level lost the W2/W3 benchmarks)
+        assert not base.use_two_level_tgt_knn
+        auto = dataclasses.replace(base, tgt_knn="auto")
+        # auto at the bench operating point: extent 20, reach 1.0 -> on
+        assert auto.use_two_level_tgt_knn
         # ModelNet scale: cube covers half the cloud -> off
-        mn = dataclasses.replace(base, spatial_extent=2.5)
+        mn = dataclasses.replace(auto, spatial_extent=2.5)
         assert not mn.use_two_level_tgt_knn
         # exact-selection fidelity mode forces the flat path
-        ex = dataclasses.replace(base, candidate_knn="exact")
+        ex = dataclasses.replace(auto, candidate_knn="exact")
         assert not ex.use_two_level_tgt_knn
         # explicit override wins over the extent heuristic
         forced = dataclasses.replace(mn, tgt_knn="two_level")
