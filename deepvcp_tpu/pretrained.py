@@ -262,7 +262,12 @@ def routed_registrar(low: str = "modelnet-fine", high: str = "lidar-fine",
     fine-tunes landed BETWEEN the specialists on both held sets,
     campaign_r5 G1 / campaign_r5d G2). The experts must share one
     architecture; 'low' serves uniform-density clouds, 'high' serves
-    density-gradient (lidar-like) clouds."""
+    density-gradient (lidar-like) clouds.
+
+    Measured (campaign_r5d G3, held ModelNet-scale protocol, 3 guarded
+    refine iters): uniform 0.80 deg / 0.026 AND lidar-like 2.12 deg /
+    0.041 — the router recovers each specialist's own numbers
+    simultaneously, which no single trained checkpoint achieved."""
     from deepvcp_tpu.registration import RoutedRegistrar
 
     cfg_l, v_l = load(low, num_points=num_points, use_normal=use_normal)
