@@ -368,6 +368,12 @@ class TrainConfig:
     # cancel in the solve get no gradient; > 0 adds the direct term.
     # 0 keeps exact reference-loss semantics.
     vcp_loss_weight: float = 0.0
+    # Weight of the explicit rotation term on the SOLVED pose
+    # (loss/registration.py rot_weight: mean ||R2 - R_gt||_F, ~2*theta).
+    # The round-5 rotation-wall fix: at KITTI scale the point-space terms
+    # are translation-dominated and rotation plateaus at 0.27-0.9 deg;
+    # this term re-weights the under-supervised component. 0 = off.
+    rot_loss_weight: float = 0.0
     # "constant" (reference parity) or "cosine" (warmup_steps linear
     # warmup then cosine decay over total_steps to 1% of learning_rate).
     lr_schedule: str = "constant"

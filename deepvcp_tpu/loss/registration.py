@@ -38,6 +38,7 @@ class RegistrationResult(NamedTuple):
     l1: jax.Array          # scalar: alpha term
     mean_residual: jax.Array  # scalar: (1 - alpha) term
     vcp_l1: jax.Array      # scalar: direct per-keypoint VCP error term
+    rot_fro: jax.Array     # scalar: rotation Frobenius error term
 
 
 class RefineResult(NamedTuple):
@@ -95,6 +96,7 @@ def deepvcp_loss(
     inlier_ratio: float = 0.8,
     weights: Optional[jax.Array] = None,
     vcp_weight: float = 0.0,
+    rot_weight: float = 0.0,
 ) -> RegistrationResult:
     """alpha * L1(y_true_in, y2) + (1 - alpha) * |mean(y2 - y_true_in)|
     (ref deepVCP_loss.py:105-121), evaluated on the trimmed inlier set with
@@ -108,6 +110,18 @@ def deepvcp_loss(
     term is a far stronger training signal for the CPG logits. Default 0
     keeps exact reference-loss semantics.
 
+    `rot_weight > 0` adds an EXPLICIT rotation term on the SOLVED pose:
+    mean Frobenius norm ||R2 - R_true||_F = 2*sqrt(2)*|sin(theta/2)|
+    ~ sqrt(2)*theta — linear in the geodesic angle (L1-like; the arccos geodesic
+    itself has an unbounded gradient at zero error). Motivation
+    (round-5 campaigns r5c/r5e): at KITTI scale the point-space terms
+    are TRANSLATION-dominated — a 0.4 deg rotation error displaces a
+    25 m-range cloud by ~0.17 m but the supervised inlier keypoints by
+    far less than their own noise, so training plateaus at 0.27-0.9 deg
+    while RTE reaches millimeters. The rotation term re-weights exactly
+    the component the geometry under-supervises. Gradients flow through
+    the second SVD solve into the VCPs.
+
     Args:
         x: [B, N, 3] source keypoints.
         y_pred: [B, N, 3] predicted VCPs.
@@ -119,8 +133,13 @@ def deepvcp_loss(
     l1 = jnp.mean(jnp.abs(y_true_in - y2))
     mean_res = jnp.abs(jnp.mean(y2 - y_true_in))
     vcp_l1 = jnp.mean(jnp.abs(apply_rigid(x, R_true, t_true) - y_pred))
-    loss = alpha * l1 + (1.0 - alpha) * mean_res + vcp_weight * vcp_l1
+    # sqrt(sum^2 + eps): the Frobenius norm's gradient is bounded and
+    # smooth at zero rotation error (unlike the arccos geodesic)
+    rot_fro = jnp.mean(jnp.sqrt(
+        jnp.sum(jnp.square(ref.R - R_true), axis=(-2, -1)) + 1e-12))
+    loss = (alpha * l1 + (1.0 - alpha) * mean_res
+            + vcp_weight * vcp_l1 + rot_weight * rot_fro)
     return RegistrationResult(
         loss=loss, R=ref.R, t=ref.t, l1=l1, mean_residual=mean_res,
-        vcp_l1=vcp_l1,
+        vcp_l1=vcp_l1, rot_fro=rot_fro,
     )

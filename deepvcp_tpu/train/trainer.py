@@ -149,6 +149,7 @@ def build_train_step(model: DeepVCP, tx, cfg: TrainConfig):
             kp, vcp, R_gt, t_gt, alpha=cfg.alpha,
             inlier_ratio=cfg.inlier_ratio, weights=weights,
             vcp_weight=cfg.vcp_loss_weight,
+            rot_weight=cfg.rot_loss_weight,
         )
         return res.loss, (res, updates["batch_stats"])
 
@@ -227,6 +228,7 @@ def make_eval_step(model: DeepVCP, cfg: TrainConfig):
             weights=(aux["keypoint_saliency"]
                      if cfg.use_saliency_weights else None),
             vcp_weight=cfg.vcp_loss_weight,
+            rot_weight=cfg.rot_loss_weight,
         )
         B = src.shape[0]
         eye = jnp.broadcast_to(jnp.eye(3, dtype=src.dtype), (B, 3, 3))

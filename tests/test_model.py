@@ -608,3 +608,41 @@ class TestCandidateKnnModes:
         cfg = dataclasses.replace(DeepVCPConfig.tiny(), candidate_knn="fast")
         with pytest.raises(ValueError, match="candidate_knn"):
             cfg.resolve()
+
+
+class TestRotationLossTerm:
+    def test_rot_weight_zero_is_reference_semantics(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(-1, 1, (2, 32, 3)).astype(np.float32))
+        R = jnp.asarray(np.stack(
+            [random_rotation(np.random.default_rng(i)) for i in range(2)]
+        ).astype(np.float32))
+        t = jnp.asarray(rng.uniform(-1, 1, (2, 3)).astype(np.float32))
+        y = jnp.einsum("bni,bji->bnj", x, R) + t[:, None] \
+            + 0.05 * jnp.asarray(rng.normal(size=(2, 32, 3)).astype(np.float32))
+        a = deepvcp_loss(x, y, R, t)
+        b = deepvcp_loss(x, y, R, t, rot_weight=0.0)
+        assert float(a.loss) == float(b.loss)
+        # the term is the mean Frobenius distance of the solved pose
+        expected = np.mean([np.linalg.norm(np.asarray(a.R[i]) -
+                                           np.asarray(R[i]))
+                            for i in range(2)])
+        np.testing.assert_allclose(float(a.rot_fro), expected, rtol=1e-4)
+        assert expected > 0
+
+    def test_rot_term_has_finite_gradient_at_zero_error(self):
+        """The arccos geodesic's gradient blows up at zero rotation
+        error; the Frobenius surrogate must stay finite when the solve
+        recovers the pose exactly."""
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 16, 3)).astype(np.float32))
+        R = jnp.asarray(
+            random_rotation(np.random.default_rng(2))[None].astype(np.float32))
+        t = jnp.asarray(rng.uniform(-1, 1, (1, 3)).astype(np.float32))
+        y_exact = jnp.einsum("bni,bji->bnj", x, R) + t[:, None]
+
+        def f(y):
+            return deepvcp_loss(x, y, R, t, rot_weight=5.0).loss
+
+        g = jax.grad(f)(y_exact)
+        assert np.isfinite(np.asarray(g)).all()
