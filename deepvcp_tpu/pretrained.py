@@ -74,6 +74,19 @@ REGISTRY: Dict[str, Dict[str, Any]] = {
         "notes": "velodyne-scale (25 m range, meter coordinates, f32 "
                  "selection gate); use for odometry, refine_iters=2",
     },
+    "kitti25-rot": {
+        "path": "artifacts/campaign_r5g/model_k7_w3/final",
+        "cfg": {"spatial_extent": 55.0},
+        "gt_free": {"lidar25_small": (0.2365, 0.0071)},
+        "notes": "kitti25 continued with the explicit rotation loss "
+                 "term (rot_loss_weight=3) — the ROTATION headline: "
+                 "0.24 deg/0.0071 at refine_iters=2, and stable under "
+                 "further iteration where kitti25 degraded "
+                 "(campaign_r5g E7; rot_weight=10 overshoots). The "
+                 "round-5 rotation-wall fix: the point-space loss is "
+                 "translation-dominated at 25 m range, so rotation was "
+                 "under-supervised",
+    },
     "kitti25-fine": {
         "path": "artifacts/campaign_r5/model_k5/final",
         "cfg": {"spatial_extent": 55.0},
