@@ -125,6 +125,59 @@ def main():
         except Exception:
             c.save("O1_cascade_odometry", {"error": traceback.format_exc()})
 
+    # --- O2: odometry with the rotation-tuned single-stage model ----------
+    # kitti25-rot is the rotation headline (0.2365 deg pairwise); the
+    # cascade run (O1) showed per-edge rotation ~1 deg dominates its
+    # trajectory error. Same scene, same protocol.
+    if not c.done("O2_rot_odometry") and not TINY:
+        try:
+            reg = pretrained.registrar("kitti25-rot", num_points=N,
+                                       refine_iters=2)
+            rng = np.random.default_rng(11)
+            cloud = lidar_like_cloud(
+                rng, N, max_range=MAX_RANGE).astype(np.float32)
+            F = 12
+            scale = MAX_RANGE / 25.0
+            R_abs = [np.eye(3, dtype=np.float32)]
+            t_abs = [np.zeros(3, dtype=np.float32)]
+            R_rel_true, t_rel_true = [], []
+            for i in range(F - 1):
+                Rr = axis_angle_to_matrix(
+                    np.array([0.0, 0.0, 1.0]), np.radians(1.5)
+                ).astype(np.float32)
+                tr_ = scale * np.array([0.8 + 0.15 * i, 0.05, 0.0],
+                                       np.float32)
+                R_rel_true.append(Rr)
+                t_rel_true.append(tr_)
+                R_abs.append(Rr @ R_abs[-1])
+                t_abs.append(Rr @ t_abs[-1] + tr_)
+            scans = np.stack(
+                [cloud @ Rm.T + tv for Rm, tv in zip(R_abs, t_abs)]
+            ).astype(np.float32)
+            R_rel_true = np.stack(R_rel_true)
+            t_rel_true = np.stack(t_rel_true)
+            R_est, t_est = register_sequence(reg, scans, warm_start=True)
+            terr = np.linalg.norm(t_est - t_rel_true, axis=-1)
+            rerr = np.degrees(np.arccos(np.clip(
+                (np.trace(np.einsum("fab,fcb->fac", R_est, R_rel_true),
+                          axis1=-2, axis2=-1) - 1) / 2, -1, 1)))
+            R_gt_abs, t_gt_abs = chain_poses(
+                jnp.asarray(R_rel_true), jnp.asarray(t_rel_true))
+            R_ch, t_ch = chain_poses(jnp.asarray(R_est),
+                                     jnp.asarray(t_est))
+            c.save("O2_rot_odometry", {
+                "mean_t_err": round(float(terr.mean()), 4),
+                "max_t_err": round(float(terr.max()), 4),
+                "mean_r_err_deg": round(float(rerr.mean()), 3),
+                "ate_raw_chain": round(float(
+                    absolute_trajectory_error(t_ch, t_gt_abs)), 4),
+                "cascade_O1": {"mean_t_err": 0.0063,
+                               "mean_r_err_deg": 1.038,
+                               "ate_raw_chain": 0.0226},
+            })
+        except Exception:
+            c.save("O2_rot_odometry", {"error": traceback.format_exc()})
+
     print("[campaign_r5h] DONE", flush=True)
 
 
