@@ -140,6 +140,11 @@ def available() -> Dict[str, str]:
     return {k: v["notes"] for k, v in REGISTRY.items()}
 
 
+def available_cascades() -> Dict[str, str]:
+    """Name -> one-line description of each shipped cascade."""
+    return {k: v["notes"] for k, v in CASCADES.items()}
+
+
 def load(name: str, num_points: int = 10000, use_normal: bool = False
          ) -> Tuple[Any, Dict[str, Any]]:
     """Returns (DeepVCPConfig, variables) for a registry checkpoint.

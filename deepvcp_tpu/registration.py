@@ -460,6 +460,12 @@ class RoutedRegistrar:
     over a strided 512-point subsample — dimensionless (scale-free) and
     cleanly bimodal (measured: uniform clouds 0.51-0.58, lidar-like
     0.92-1.15 across scales 1-25 m; threshold 0.75).
+
+    Routing granularity: ONE vote per batch (the mean statistic) — a
+    single variables tree feeds the compiled program. Mixed-distribution
+    batches should be split by the caller (batch elements of one
+    registration call usually share a sensor anyway); use
+    `route_statistic` to inspect per-cloud values.
     """
 
     def __init__(
