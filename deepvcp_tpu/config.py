@@ -374,6 +374,11 @@ class TrainConfig:
     # are translation-dominated and rotation plateaus at 0.27-0.9 deg;
     # this term re-weights the under-supervised component. 0 = off.
     rot_loss_weight: float = 0.0
+    # Fine-tune mode: BatchNorm consumes the checkpoint's running
+    # statistics and never updates them (see trainer loss_fn — the
+    # round-5 long-continuation drift pathology). Use for continued
+    # training of converged checkpoints; leave False for from-scratch.
+    freeze_batch_stats: bool = False
     # "constant" (reference parity) or "cosine" (warmup_steps linear
     # warmup then cosine decay over total_steps to 1% of learning_rate).
     lr_schedule: str = "constant"

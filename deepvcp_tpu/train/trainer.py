@@ -133,15 +133,28 @@ def build_train_step(model: DeepVCP, tx, cfg: TrainConfig):
     def loss_fn(params, batch_stats, src, tgt, R_gt, t_gt, step):
         variables = {"params": params, "batch_stats": batch_stats}
         R_init, t_init = _train_init_pose(cfg, step, R_gt, t_gt)
-        (kp, vcp, aux), updates = model.apply(
-            variables,
-            src,
-            tgt,
-            R_init,
-            t_init,
-            train=True,
-            mutable=["batch_stats"],
-        )
+        if cfg.freeze_batch_stats:
+            # fine-tune mode: BatchNorm consumes the checkpoint's
+            # RUNNING statistics and never updates them (train=False
+            # only gates BN here — there is no dropout). Round-5
+            # finding (campaigns r5i/r5j): LONG fine-tune continuations
+            # at B=1 drift the running stats away from the train-time
+            # batch statistics — train metrics stay healthy while eval
+            # vcp_l1 diverges ~10x mid-schedule — and cosine decay only
+            # partially recovers it. Freezing removes the drift channel.
+            kp, vcp, aux = model.apply(
+                variables, src, tgt, R_init, t_init, train=False)
+            updates = {"batch_stats": batch_stats}
+        else:
+            (kp, vcp, aux), updates = model.apply(
+                variables,
+                src,
+                tgt,
+                R_init,
+                t_init,
+                train=True,
+                mutable=["batch_stats"],
+            )
         weights = (
             aux["keypoint_saliency"] if cfg.use_saliency_weights else None
         )

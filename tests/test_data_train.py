@@ -573,3 +573,38 @@ class TestKITTISplit:
     def test_bad_split_raises(self, multi_seq_root):
         with pytest.raises(ValueError):
             KITTIDataset(multi_seq_root, split="validation")
+
+
+class TestFrozenBatchStats:
+    def test_freeze_keeps_stats_and_trains_params(self):
+        """freeze_batch_stats: params update, batch_stats bit-stable
+        (the round-5 long-fine-tune drift fix)."""
+        import dataclasses
+
+        import jax
+
+        model_cfg = DeepVCPConfig.tiny(num_points=64, use_normal=False)
+        ds = SyntheticDataset(num_clouds=2, num_points=64, extent=1.0,
+                              seed=0)
+        sample = next(batch_iterator(ds, 2, epoch=0, seed=0))
+        tcfg = TrainConfig(num_epochs=1, batch_size=2,
+                           metrics_path=None,
+                           freeze_batch_stats=True)
+        tr = Trainer(model_cfg, tcfg)
+        tr.setup(sample)
+        stats_before = jax.tree_util.tree_map(
+            lambda a: np.asarray(a).copy(), tr.state.batch_stats)
+        params_before = jax.tree_util.tree_map(
+            lambda a: np.asarray(a).copy(), tr.state.params)
+        for batch in batch_iterator(ds, 2, epoch=0, seed=0):
+            tr.train_epoch(iter([batch]), 0)
+            break
+        same_stats = jax.tree_util.tree_all(jax.tree_util.tree_map(
+            lambda a, b: bool((np.asarray(a) == b).all()),
+            tr.state.batch_stats, stats_before))
+        changed_params = not jax.tree_util.tree_all(
+            jax.tree_util.tree_map(
+                lambda a, b: bool((np.asarray(a) == b).all()),
+                tr.state.params, params_before))
+        assert same_stats
+        assert changed_params
